@@ -1,0 +1,160 @@
+"""Host→device input pipeline: decode, canvas-pack, prefetch.
+
+Replaces the reference's torch DataLoader worker processes doing per-image
+PIL decode+resize (/root/reference/neuston_net.py:80-84, neuston_data.py:257-263)
+with a TPU-first split of labor:
+
+  host (this module):  decode bytes → uint8, pack variable-size images into a
+                       fixed uint8 canvas batch (few ladder sizes → few XLA
+                       compilations), overlap with device compute via a
+                       bounded prefetch queue and a decode thread pool.
+  device (ops/preprocess.py): resize-as-matmul + normalize + flip, fused.
+
+Canvas packing ships raw uint8 over PCIe (3-48x smaller than f32 resized
+tensors) and keeps every jit shape static: batches are always `batch_size`
+long (short final batches are padded and masked, mirroring the reference's
+drop_last=False semantics without a second compile).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+__all__ = ["CANVAS_LADDER", "decode_image", "pack_canvas_batch", "HostLoader",
+           "prefetch", "ladder_size"]
+
+# Few static canvas sizes → few compiled preprocess variants. Plankton ROIs
+# are typically < 256 px on a side; folder datasets of pre-cropped images too.
+CANVAS_LADDER = (64, 128, 256, 512, 1024)
+MAX_CANVAS = CANVAS_LADDER[-1]
+
+
+def ladder_size(max_dim: int) -> int:
+    for s in CANVAS_LADDER:
+        if max_dim <= s:
+            return s
+    return MAX_CANVAS
+
+
+def decode_image(path: str, rgb: bool = True) -> np.ndarray:
+    """Decode an image file to uint8 (H,W,3) — the reference's
+    `datasets.folder.default_loader` (PIL, .convert('RGB'))."""
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB" if rgb else "L")
+        # Host-downscale only the rare oversized image so canvases stay bounded.
+        if max(im.size) > MAX_CANVAS:
+            im.thumbnail((MAX_CANVAS, MAX_CANVAS), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def pack_canvas_batch(images, batch_size=None, rgb=None):
+    """Pack a list of uint8 arrays (2-D gray or 3-D RGB) into one canvas batch.
+
+    Returns (canvas, sizes, n_valid):
+      canvas  uint8 [B, S, S] or [B, S, S, 3]; S = ladder size covering batch
+      sizes   int32 [B, 2] true (h, w) per image
+      n_valid number of real images (B - n_valid are zero padding rows)
+    """
+    n = len(images)
+    assert n > 0, "empty batch"
+    B = batch_size or n
+    if rgb is None:
+        rgb = images[0].ndim == 3
+    max_dim = max(max(img.shape[0], img.shape[1]) for img in images)
+    S = ladder_size(max_dim)
+    shape = (B, S, S, 3) if rgb else (B, S, S)
+    canvas = np.zeros(shape, dtype=np.uint8)
+    sizes = np.ones((B, 2), dtype=np.int32)  # pad rows get size 1x1 (benign)
+    for k, img in enumerate(images):
+        if rgb and img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        h = min(img.shape[0], S)
+        w = min(img.shape[1], S)
+        canvas[k, :h, :w] = img[:h, :w]
+        sizes[k] = (h, w)
+    return canvas, sizes, n
+
+
+class HostLoader:
+    """Batched manifest loader with threaded decode and padded static shapes.
+
+    items: list of image paths (decoded via PIL) OR in-memory uint8 arrays
+           (ROIs from bins).
+    labels: optional int targets parallel to items.
+
+    Yields dicts: canvas uint8[B,S,S(,3)], sizes int32[B,2], labels int32[B],
+    mask bool[B] (False on padding rows), indices of the items in this batch.
+    """
+
+    def __init__(self, items, labels=None, batch_size=108, num_workers=4,
+                 shuffle=False, seed=0, rgb=True):
+        self.items = list(items)
+        self.labels = list(labels) if labels is not None else None
+        self.batch_size = int(batch_size)
+        self.num_workers = max(1, int(num_workers))
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rgb = rgb
+        self._epoch = 0
+
+    def __len__(self):
+        return (len(self.items) + self.batch_size - 1) // self.batch_size
+
+    def _materialize(self, item):
+        if isinstance(item, np.ndarray):
+            return item
+        return decode_image(item, rgb=self.rgb)
+
+    def __iter__(self):
+        order = np.arange(len(self.items))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed or 0) + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        B = self.batch_size
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for start in range(0, len(order), B):
+                idx = order[start:start + B]
+                images = list(pool.map(self._materialize,
+                                       (self.items[i] for i in idx)))
+                canvas, sizes, n = pack_canvas_batch(images, batch_size=B,
+                                                     rgb=self.rgb)
+                labels = np.zeros(B, dtype=np.int32)
+                if self.labels is not None:
+                    labels[:n] = [self.labels[i] for i in idx]
+                mask = np.zeros(B, dtype=bool)
+                mask[:n] = True
+                yield dict(canvas=canvas, sizes=sizes, labels=labels,
+                           mask=mask, indices=idx)
+
+
+def prefetch(iterable, depth: int = 2):
+    """Run `iterable` in a background thread, keeping `depth` items ready —
+    overlaps host decode/pack with device compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surfaced in consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -1,0 +1,119 @@
+"""Tests for the first-party IFCB bin reader (data/ifcb.py)."""
+
+import numpy as np
+import pytest
+
+from ifcb_classifier_tpu.data.ifcb import (
+    Bin, DataDirectory, Pid, SCHEMA_VERSION_1, SCHEMA_VERSION_2, infilled_images,
+)
+from fixtures import make_roi, write_bin
+
+
+class TestPid:
+    def test_new_style(self):
+        p = Pid("D20150101T123456_IFCB101")
+        assert p.schema_version == SCHEMA_VERSION_2
+        assert p.pid == "D20150101T123456_IFCB101"
+        assert p.year == 2015
+        assert p.yearday == "20150101"
+        assert p.instrument == "IFCB101"
+        assert p.target is None
+
+    def test_old_style(self):
+        p = Pid("IFCB1_2007_134_123456")
+        assert p.schema_version == SCHEMA_VERSION_1
+        assert p.year == 2007
+        assert p.yearday == "2007_134"
+        assert p.instrument == "IFCB1"
+
+    def test_target_suffix(self):
+        p = Pid("D20150101T123456_IFCB101_00042")
+        assert p.target == 42
+        assert p.pid == "D20150101T123456_IFCB101"
+        assert str(p) == "D20150101T123456_IFCB101_00042"
+
+    def test_with_target(self):
+        p = Pid("D20150101T123456_IFCB101")
+        assert p.with_target(7) == "D20150101T123456_IFCB101_00007"
+
+    def test_path_and_extension_stripped(self):
+        p = Pid("/some/dir/D20150101T123456_IFCB101.adc")
+        assert p.pid == "D20150101T123456_IFCB101"
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            Pid("not_a_pid")
+
+    def test_namespace_mutable(self):
+        p = Pid("D20150101T123456_IFCB101")
+        p.namespace = "sub/dir/"
+        assert p.namespace == "sub/dir/"
+
+
+class TestBin:
+    def test_roundtrip_v2(self, tmp_path):
+        rois = [make_roi(11, 17, 1), None, make_roi(23, 5, 2)]
+        base = write_bin(str(tmp_path), "D20200301T000000_IFCB900", rois, schema=2)
+        b = Bin(base + ".adc")
+        assert b.schema == SCHEMA_VERSION_2
+        assert len(b) == 2
+        assert b.target_numbers() == [1, 3]
+        np.testing.assert_array_equal(b.images[1], rois[0])
+        np.testing.assert_array_equal(b.images[3], rois[2])
+
+    def test_roundtrip_v1(self, tmp_path):
+        rois = [make_roi(8, 9, 3)]
+        base = write_bin(str(tmp_path), "IFCB1_2007_134_123456", rois, schema=1)
+        b = Bin(base + ".adc")
+        assert b.schema == SCHEMA_VERSION_1
+        np.testing.assert_array_equal(b.images[1], rois[0])
+
+    def test_stitching_single_rois_passthrough(self, tmp_path):
+        rois = [make_roi(6, 6, 4), make_roi(7, 7, 5)]
+        base = write_bin(str(tmp_path), "IFCB1_2007_134_000001", rois, schema=1,
+                         trigger_of=[1, 2])
+        b = Bin(base + ".adc")
+        out = infilled_images(b)
+        assert sorted(out) == [1, 2]
+        np.testing.assert_array_equal(out[1], rois[0])
+
+    def test_stitching_composites_same_trigger(self, tmp_path):
+        r1, r2 = make_roi(6, 4, 6), make_roi(6, 4, 7)
+        base = write_bin(str(tmp_path), "IFCB1_2007_134_000002", [r1, r2],
+                         schema=1, trigger_of=[1, 1])
+        b = Bin(base + ".adc")
+        out = infilled_images(b)
+        assert list(out) == [1]  # keyed by first target of the group
+        stitched = out[1]
+        assert stitched.shape == (6, 8)
+        np.testing.assert_array_equal(stitched[:, :4], r1)
+        np.testing.assert_array_equal(stitched[:, 4:], r2)
+
+
+class TestDataDirectory:
+    def _make_three(self, root):
+        write_bin(str(root / "a"), "D20200101T000000_IFCB900", [make_roi(5, 5)], 2)
+        write_bin(str(root / "a"), "D20200102T000000_IFCB900", [make_roi(5, 5)], 2)
+        write_bin(str(root / "b"), "D20210101T000000_IFCB901", [make_roi(5, 5)], 2)
+
+    def test_discovery_sorted(self, tmp_path):
+        self._make_three(tmp_path)
+        dd = DataDirectory(str(tmp_path))
+        pids = [b.pid.pid for b in dd]
+        assert len(dd) == 3
+        assert pids == sorted(pids)
+
+    def test_whitelist(self, tmp_path):
+        self._make_three(tmp_path)
+        dd = DataDirectory(str(tmp_path), whitelist=["D2021"])
+        assert [b.pid.pid for b in dd] == ["D20210101T000000_IFCB901"]
+
+    def test_blacklist(self, tmp_path):
+        self._make_three(tmp_path)
+        dd = DataDirectory(str(tmp_path), blacklist=["IFCB901"])
+        assert len(dd) == 2
+
+    def test_ignores_orphan_adc(self, tmp_path):
+        self._make_three(tmp_path)
+        (tmp_path / "D20220101T000000_IFCB900.adc").write_text("0,0\n")
+        assert len(DataDirectory(str(tmp_path))) == 3

@@ -1,0 +1,100 @@
+"""Tests for device-side preprocessing (ops/preprocess.py): PIL-parity resize,
+gray→RGB, normalization, flips, canvas padding isolation."""
+
+import numpy as np
+import pytest
+
+from ifcb_classifier_tpu.data.pipeline import pack_canvas_batch, HostLoader, prefetch
+from fixtures import make_roi, write_image_folder_dataset
+
+
+def pil_resize(arr, size):
+    from PIL import Image
+    return np.asarray(Image.fromarray(arr).resize((size, size), Image.BILINEAR),
+                      dtype=np.float32)
+
+
+class TestResizeMatmul:
+    @pytest.mark.parametrize("h,w", [(40, 60), (300, 200), (10, 10), (224, 224)])
+    def test_matches_pil_bilinear(self, h, w):
+        from ifcb_classifier_tpu.ops.preprocess import resize_bilinear_matmul
+        img = make_roi(h, w, seed=h * w)
+        rgb = np.stack([img] * 3, axis=-1)
+        out = np.asarray(resize_bilinear_matmul(rgb.astype(np.float32), h, w, 64))
+        ref = pil_resize(rgb, 64)
+        # PIL uses uint8 fixed-point accumulation; allow ~1.5 LSB
+        assert np.abs(out - ref).max() <= 2.0
+
+    def test_canvas_padding_ignored(self):
+        from ifcb_classifier_tpu.ops.preprocess import resize_bilinear_matmul
+        img = make_roi(50, 30, seed=3).astype(np.float32)[..., None]
+        canvas = np.zeros((128, 128, 1), np.float32)
+        canvas[:50, :30] = img
+        canvas2 = np.full((128, 128, 1), 255.0, np.float32)
+        canvas2[:50, :30] = img
+        out1 = np.asarray(resize_bilinear_matmul(canvas, 50, 30, 32))
+        out2 = np.asarray(resize_bilinear_matmul(canvas2, 50, 30, 32))
+        np.testing.assert_allclose(out1, out2, atol=1e-3)
+
+    def test_identity_when_same_size(self):
+        from ifcb_classifier_tpu.ops.preprocess import resize_bilinear_matmul
+        img = make_roi(32, 32, seed=9).astype(np.float32)[..., None]
+        out = np.asarray(resize_bilinear_matmul(img, 32, 32, 32))
+        np.testing.assert_allclose(out[..., 0], img[..., 0], atol=1e-2)
+
+
+class TestPreprocessBatch:
+    def test_gray_to_rgb_and_range(self):
+        from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+        rois = [make_roi(20, 30, 1), make_roi(40, 25, 2)]
+        canvas, sizes, n = pack_canvas_batch(rois, batch_size=4, rgb=False)
+        out = np.asarray(preprocess_batch(canvas, sizes, out_size=32))
+        assert out.shape == (4, 32, 32, 3)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])
+
+    def test_normalize(self):
+        from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+        rois = [np.full((16, 16), 128, np.uint8)]
+        canvas, sizes, _ = pack_canvas_batch(rois, rgb=False)
+        out = np.asarray(preprocess_batch(
+            canvas, sizes, out_size=8, mean=[0.5, 0.5, 0.5], std=[0.25, 0.5, 1.0]))
+        expect = (128 / 255 - 0.5) / np.array([0.25, 0.5, 1.0])
+        np.testing.assert_allclose(out[0, 4, 4], expect, atol=1e-3)
+
+    def test_flip_deterministic_under_key(self):
+        import jax
+        from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+        rois = [make_roi(16, 16, s) for s in range(8)]
+        canvas, sizes, _ = pack_canvas_batch(rois, rgb=False)
+        k = jax.random.PRNGKey(0)
+        a = np.asarray(preprocess_batch(canvas, sizes, k, out_size=16, flip_x=True))
+        b = np.asarray(preprocess_batch(canvas, sizes, k, out_size=16, flip_x=True))
+        np.testing.assert_array_equal(a, b)
+        base = np.asarray(preprocess_batch(canvas, sizes, out_size=16))
+        flipped = np.abs(a - base).max(axis=(1, 2, 3)) > 0
+        assert flipped.any()  # some images flipped
+        for i in np.nonzero(flipped)[0]:
+            np.testing.assert_allclose(a[i], base[i, ::-1], atol=1e-5)
+
+
+class TestHostLoader:
+    def test_loader_batches_and_padding(self, tmp_path):
+        src = write_image_folder_dataset(str(tmp_path / "d"), {"a": 5})
+        import os
+        paths = sorted(os.path.join(src, "a", f) for f in os.listdir(src + "/a"))
+        loader = HostLoader(paths, labels=[0] * 5, batch_size=4, shuffle=False)
+        batches = list(prefetch(iter(loader)))
+        assert len(batches) == 2
+        assert batches[0]["canvas"].shape[0] == 4
+        assert batches[0]["mask"].all()
+        assert batches[1]["mask"].sum() == 1
+
+    def test_loader_shuffle_per_epoch(self):
+        items = [make_roi(8, 8, s) for s in range(10)]
+        loader = HostLoader(items, labels=list(range(10)), batch_size=10,
+                            shuffle=True, seed=1, rgb=False)
+        e1 = next(iter(loader))["labels"].tolist()
+        e2 = next(iter(loader))["labels"].tolist()
+        assert sorted(e1) == list(range(10))
+        assert e1 != e2  # reshuffled across epochs

@@ -1,0 +1,200 @@
+"""The main CLI: TRAIN and RUN — same surface as the reference's
+neuston_net.py argparse tree (/root/reference/neuston_net.py:311-452):
+same subcommands, flags, defaults (batch 108, split 80:20, class-min 2,
+emax 60 / emin 10 / estop 10, flip choices, outdir templates).
+
+Additions (documented; all optional so reference invocations work verbatim):
+  --precision auto|bf16|fp32   compute dtype (auto = bf16 on TPU)
+  --weights PATH               ported torchvision state_dict for --pretrained
+  --profile N                  capture a jax.profiler trace of N train steps
+  --nan-check                  enable jax debug_nans
+  --export                     alias of --onnx emitting a StableHLO artifact
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .utils.config import add_runtime_params, enable_compile_cache, proc_outdir
+
+
+def main(args):
+    if args.cmd_mode == "TRAIN":
+        from .train.loop import do_training
+        do_training(args)
+    else:  # RUN
+        from .infer.runner import do_run
+        do_run(args)
+    print("\nDONE!")
+
+
+def argparse_nn(parser=None):
+    if parser is None:
+        parser = argparse.ArgumentParser(
+            prog="ifcbnn",
+            description="Train, Run, and perform other tasks related to ifcb "
+                        "and general image classification! (TPU-native)")
+
+    subparsers = parser.add_subparsers(
+        dest="cmd_mode",
+        help='These sub-commands are mutually exclusive. Note: optional '
+             'arguments (below) must be specified before "TRAIN" or "RUN"')
+    train = subparsers.add_parser("TRAIN", help="Train a new model")
+    run = subparsers.add_parser("RUN", help="Run a previously trained model")
+
+    common = parser.add_argument_group(title="NN Common Args")
+    common.add_argument("--batch", dest="batch_size", metavar="SIZE",
+                        default=108, type=int,
+                        help="Number of images per batch. Default is 108")
+    common.add_argument("--loaders", metavar="N", default=4, type=int,
+                        help="Number of data-loading threads. Default is 4")
+    common.add_argument("--precision", choices=["auto", "bf16", "fp32"],
+                        default="auto",
+                        help="Compute dtype; auto = bf16 on TPU, fp32 on CPU")
+
+    argparse_nn_train(train)
+    argparse_nn_run(run)
+    return parser
+
+
+def argparse_nn_train(train):
+    train.add_argument("SRC", help="Directory with class-label subfolders and "
+                       "images. May also be a dataset-configuration csv.")
+    train.add_argument("MODEL", help='Select a base model. Eg: "inception_v3"')
+    train.add_argument("TRAIN_ID", help="Training ID. This value is the default "
+                       "value used by --outdir and --model-id.")
+
+    model = train.add_argument_group(title="Model Adjustments")
+    model.add_argument("--untrain", dest="pretrained", default=True,
+                       action="store_false",
+                       help="If set, initializes MODEL ~without~ pretrained "
+                            "neurons. Default (unset) is pretrained")
+    model.add_argument("--weights", metavar="PTH", default=None,
+                       help="Path to a ported torchvision state_dict (.pth/.npz)"
+                            " supplying the pretrained weights")
+    model.add_argument("--img-norm", nargs=2, metavar=("MEAN", "STD"),
+                       help="Normalize images by MEAN and STD. "
+                            'eg1: "0.667 0.161", eg2: "0.056,0.058,0.051 '
+                            '0.067,0.071,0.057"')
+
+    data = train.add_argument_group(title="Dataset Adjustments")
+    data.add_argument("--seed", default=0, type=int,
+                      help="Set a specific seed for deterministic output & "
+                           "dataset-splitting reproducability.")
+    data.add_argument("--split", metavar="T:V", default="80:20",
+                      help="Ratio of images per-class to split randomly into "
+                           'Training and Validation datasets. Default is "80:20"')
+    data.add_argument("--class-config", metavar=("CSV", "COL"), nargs=2,
+                      help="Skip and combine classes as defined by column COL "
+                           "of a special CSV configuration file")
+    data.add_argument("--class-min", metavar="MIN", default=2, type=int,
+                      help="Exclude classes with fewer than MIN instances. "
+                           "Default is 2")
+    data.add_argument("--class-max", metavar="MAX", default=None, type=int,
+                      help="Limit classes to a MAX number of instances. ")
+    data.add_argument("--swap", default=False, action="store_true",
+                      help=argparse.SUPPRESS)
+
+    epochs = train.add_argument_group(title="Epoch Parameters")
+    epochs.add_argument("--emax", metavar="MAX", default=60, type=int,
+                        help="Maximum number of training epochs. Default is 60")
+    epochs.add_argument("--emin", metavar="MIN", default=10, type=int,
+                        help="Minimum number of training epochs. Default is 10")
+    epochs.add_argument("--estop", metavar="STOP", default=10, type=int,
+                        help="Early Stopping: Number of epochs following a "
+                             "best-epoch after-which to stop training. "
+                             "Set STOP=0 to disable. Default is 10")
+
+    augs = train.add_argument_group(
+        title="Augmentation Options",
+        description="Data Augmentation is a technique by which training "
+                    "results may improved by simulating novel input")
+    augs.add_argument("--flip", choices=["x", "y", "xy", "x+V", "y+V", "xy+V"],
+                      help="Training images have 50%% chance of being flipped "
+                           "along the designated axis: (x) vertically, (y) "
+                           'horizontally, (xy) either/both. May optionally '
+                           'specify "+V" to include Validation dataset')
+
+    out = train.add_argument_group(title="Output Options")
+    out.add_argument("--outdir", default="training-output/{TRAIN_ID}",
+                     help='Default is "training-output/{TRAIN_ID}"')
+    out.add_argument("--model-id", default="{TRAIN_ID}",
+                     help="Set a specific model id. Patterns {TRAIN_DATE} and "
+                          '{TRAIN_ID} are recognized. Default is "{TRAIN_ID}"')
+    out.add_argument("--epochs-log", metavar="ELOG", default="epochs.csv",
+                     help="Specify a csv filename. Default is epochs.csv")
+    out.add_argument("--args-log", metavar="ALOG", default="args.yml",
+                     help="Specify a human-readable yaml filename. "
+                          "Default is args.yml")
+    out.add_argument("--onnx", action="store_true",
+                     help="Additionally output a deployable exported version "
+                          "of the model (StableHLO artifact + .classes file)")
+    out.add_argument("--export", action="store_true", help=argparse.SUPPRESS)
+    out.add_argument("--results", dest="result_files",
+                     metavar=("FNAME", "SERIES"), nargs="+", action="append",
+                     help="FNAME: validation-results filename or pattern "
+                          '("{epoch}" recognized; .json .h5 .mat formats). '
+                          "SERIES: data series to include. Defaults match the "
+                          "reference (results.mat + standard series).")
+
+    meta = train.add_argument_group(title="Metadata and Annotations")
+    meta.add_argument("--dataset-id",
+                      help="Associate a dataset id label with this model")
+    meta.add_argument("--notes", help="Add any kind of note to the trained model")
+
+    dbg = train.add_argument_group(title="Observability")
+    dbg.add_argument("--profile", metavar="N", default=0, type=int,
+                     help="Capture a jax.profiler trace of N train steps into "
+                          "OUTDIR/profile")
+    dbg.add_argument("--nan-check", action="store_true",
+                     help="Enable jax debug_nans (fail fast on NaN)")
+
+
+def argparse_nn_run(run):
+    run.add_argument("SRC", help="Resource(s) to be classified. Accepts a bin, "
+                     "an image, a text-file, or a directory (recursive).")
+    run.add_argument("MODEL", help="Path to a previously-trained model file")
+    run.add_argument("RUN_ID", help="Run ID. Used by --outdir")
+
+    run.add_argument("--type", dest="src_type", default="bin",
+                     choices=["bin", "img"],
+                     help='File type to perform classification on. '
+                          'Default is "bin"')
+    run.add_argument("--outdir", default="run-output/{RUN_ID}/v3/{MODEL_ID}",
+                     help='Default is "run-output/{RUN_ID}/v3/{MODEL_ID}"')
+    run.add_argument("--outfile", action="append",
+                     help="Name/pattern of the output classification file. "
+                          "Patterns: {BIN_ID} {BIN_YEAR} {BIN_DATE} "
+                          "{INPUT_SUBDIRS}. Formats: .json .mat .h5. "
+                          'Bin default "D{BIN_YEAR}/D{BIN_DATE}/{BIN_ID}_class.h5"; '
+                          'img default "img_results.json".')
+    run.add_argument("--filter", nargs="+", metavar=("IN|OUT", "KEYWORD"),
+                     help="Explicitly include (IN) or exclude (OUT) bins or "
+                          "image-files by KEYWORDs. KEYWORD may also be a "
+                          "text file of line-delimited KEYWORDs.")
+    run.add_argument("--clobber", action="store_true",
+                     help="If set, already-processed bins in OUTDIR are "
+                          "reprocessed.")
+    run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
+
+
+def model_id_from_checkpoint(path):
+    from .train.checkpoint import load_checkpoint
+    _, _, hparams = load_checkpoint(path)
+    return hparams.get("model_id")
+
+
+def main_cli(argv=None):
+    parser = argparse_nn()
+    args = parser.parse_args(argv)
+    if args.cmd_mode is None:
+        parser.error('Positional Argument "TRAIN" or "RUN" must be specified.')
+    enable_compile_cache()
+    add_runtime_params(args)
+    mid = model_id_from_checkpoint(args.MODEL) if args.cmd_mode == "RUN" else None
+    proc_outdir(args, model_id_for_run=mid)
+    main(args)
+
+
+if __name__ == "__main__":
+    main_cli()

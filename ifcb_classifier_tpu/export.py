@@ -1,0 +1,160 @@
+"""Model export + exported-model inference — the ONNX sidecar's role
+(/root/reference/neuston_onnx.py) in TPU-native form.
+
+EXPORT: checkpoint → serialized StableHLO artifact (jax.export) + newline-
+        delimited .classes file (the reference's .onnx + .classes contract,
+        neuston_onnx.py:44-65). Supports fixed or dynamic ("poly") batch and
+        fp32/bf16 ("--half" analog).
+RUN:    artifact (or raw checkpoint) over an image folder/.txt/single image
+        → softmax → argmax + labels printed (neuston_onnx.py:68-107), but
+        batched via the canvas pipeline instead of one giant array
+        (the reference materializes the entire dataset unbatched, :85-86 —
+        a known quirk we deliberately fix).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def export_model(ckpt_path: str, output: str | None = None,
+                 batchsize: int = 0, half: bool = False):
+    """Serialize the eval forward fn (preprocessed image batch → softmax
+    scores) as StableHLO bytes + sidecar .classes/.json metadata."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from .models import get_namebrand_model
+    from .train.checkpoint import load_checkpoint
+    from .train.state import make_predict_step
+
+    params, batch_stats, hparams = load_checkpoint(ckpt_path)
+    classes = hparams["classes"]
+    resize = hparams["resize"]
+    dtype = jnp.bfloat16 if half else jnp.float32
+    model = get_namebrand_model(hparams["MODEL"], len(classes),
+                                pretrained=False, dtype=dtype)
+    predict = make_predict_step(model)
+
+    def fn(images):
+        return predict(params, batch_stats, images)
+
+    if batchsize:
+        in_shape = jax.ShapeDtypeStruct((batchsize, resize, resize, 3),
+                                        jnp.float32)
+    else:
+        b = jexport.symbolic_shape("b")[0]  # dynamic batch axis
+        in_shape = jax.ShapeDtypeStruct((b, resize, resize, 3), jnp.float32)
+
+    exported = jexport.export(jax.jit(fn))(in_shape)
+    blob = exported.serialize()
+
+    if not output:
+        output = ckpt_path.replace(".ptl", "").replace(".ckpt", "")
+        output += ".FP16.stablehlo" if half else ".stablehlo"
+    os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+    with open(output, "wb") as f:
+        f.write(blob)
+    print("EXPORTED:", output)
+
+    classes_file = output + ".classes"
+    with open(classes_file, "w") as f:
+        f.write("\n".join(classes))
+    print("EXPORTED:", classes_file)
+
+    meta_file = output + ".json"
+    with open(meta_file, "w") as f:
+        json.dump(dict(model=hparams["MODEL"], resize=resize,
+                       img_norm=hparams.get("img_norm"),
+                       model_id=hparams.get("model_id"),
+                       n_classes=len(classes)), f)
+    return output
+
+
+def run_exported(model_path: str, src: str, classfile: str | None = None,
+                 batch_size: int = 108):
+    """Run a .stablehlo artifact (or a raw checkpoint) over images."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from .data.datasets import list_image_paths
+    from .data.pipeline import HostLoader, prefetch
+    from .ops.preprocess import preprocess_batch
+
+    img_paths = list_image_paths(src)
+    assert img_paths, "No images to process"
+
+    with open(model_path, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+
+    meta = {}
+    if os.path.isfile(model_path + ".json"):
+        with open(model_path + ".json") as f:
+            meta = json.load(f)
+    resize = meta.get("resize", 299)  # neuston_onnx.py:84 hardcodes 299
+    img_norm = meta.get("img_norm")
+    mean, std = (None, None)
+    if img_norm:
+        from .data.datasets import parse_imgnorm
+        mean, std = parse_imgnorm(img_norm)
+
+    loader = HostLoader(img_paths, batch_size=batch_size, rgb=True)
+    all_scores, paths = [], []
+    for b in prefetch(iter(loader)):
+        images = np.asarray(preprocess_batch(b["canvas"], b["sizes"],
+                                             out_size=resize, mean=mean,
+                                             std=std))
+        out = exported.call(jnp.asarray(images))
+        n = int(b["mask"].sum())
+        all_scores.append(np.asarray(out)[:n])
+        paths.extend(loader.items[i] for i in b["indices"][:n])
+    scores = np.concatenate(all_scores)
+    output_classes = np.argmax(scores, axis=1)
+    output_scores = np.max(scores, axis=1)
+    print(output_scores)
+    print(output_classes)
+
+    classfile = classfile or model_path + ".classes"
+    if os.path.isfile(classfile):
+        with open(classfile) as f:
+            classes = f.read().splitlines()
+        print([classes[i] for i in output_classes])
+    return scores, paths
+
+
+def main_cli(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="ifcbnn-export",
+        description="Export trained models to portable StableHLO artifacts "
+                    "(the reference's ONNX sidecar role)")
+    sub = parser.add_subparsers(dest="cmd_mode")
+    exp = sub.add_parser("EXPORT", help="Export a checkpoint to .stablehlo")
+    exp.add_argument("MODEL", help="Model checkpoint (.ptl) to convert")
+    exp.add_argument("--half", action="store_true",
+                     help="Export with bf16 compute (the FP16 analog)")
+    exp.add_argument("--batchsize", default=0, type=int,
+                     help="Fixed batch size; default 0 = dynamic batch")
+    exp.add_argument("--output", default=None)
+
+    run = sub.add_parser("RUN", help="Run an exported model")
+    run.add_argument("MODEL", help="exported .stablehlo file")
+    run.add_argument("SRC", help="file/dir to run the model on")
+    run.add_argument("--classfile", "-c", help="file with list of class labels")
+    run.add_argument("--batch", dest="batch_size", default=108, type=int)
+
+    args = parser.parse_args(argv)
+    if args.cmd_mode == "EXPORT":
+        export_model(args.MODEL, args.output, args.batchsize, args.half)
+    elif args.cmd_mode == "RUN":
+        run_exported(args.MODEL, args.SRC, args.classfile, args.batch_size)
+    else:
+        parser.error("EXPORT or RUN required")
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -1,0 +1,213 @@
+"""The RUN orchestrator — replaces the reference's `do_run`
+(/root/reference/neuston_net.py:163-308).
+
+Structural upgrade over the reference (SURVEY.md §3.2): the reference spins up
+a full Lightning `trainer.test()` per bin (neuston_net.py:266) unless --gobig;
+here ONE jit-compiled predict function persists across all bins (a handful of
+compiles total, one per canvas-ladder size), ROIs stream through the
+canvas-pack pipeline, and per-bin output files + per-bin error isolation are
+preserved exactly.
+
+Behavior parity checklist:
+  * checkpoint hparams recover classes/resize/img_norm/seed    neuston_net.py:173-174
+  * IN/OUT keyword filter, keywords or keyword-files           neuston_net.py:199-207,236-240
+  * DataDirectory / .txt bin list / single bin                 neuston_net.py:211-228
+  * namespace from subdir path                                 neuston_net.py:234
+  * skip-if-output-exists unless --clobber                     neuston_net.py:242-251
+  * empty-bin → error list; per-bin exception trapping;
+    end-of-run error report                                    neuston_net.py:257-259,266-268,275-278
+  * schema-v1 stitching                                        neuston_data.py:446-449
+  * img mode: recursive walk/.txt/single + one dataset         neuston_net.py:282-308
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import list_image_paths, parse_imgnorm
+from ..data.ifcb import SCHEMA_VERSION_1, DataDirectory, infilled_images
+from ..data.pipeline import HostLoader, pack_canvas_batch, prefetch
+from ..models import get_namebrand_model
+from ..results.run import save_run_results
+from ..train.checkpoint import load_checkpoint
+from ..train.state import make_predict_step
+
+
+class InferenceEngine:
+    """Persistent jit predict pipeline: canvas batch → probs."""
+
+    def __init__(self, ckpt_path, batch_size=108, dtype=None):
+        params, batch_stats, hparams = load_checkpoint(ckpt_path)
+        self.hparams = hparams
+        self.classes = hparams["classes"]
+        self.resize = hparams["resize"]
+        self.model_id = hparams.get("model_id")
+        self.seed = hparams.get("seed", 0)
+        self.img_norm = hparams.get("img_norm")
+        self.batch_size = batch_size
+        if dtype is None:
+            dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+        model = get_namebrand_model(hparams["MODEL"], len(self.classes),
+                                    pretrained=False, dtype=dtype)
+        self.params = jax.device_put(params)
+        self.batch_stats = jax.device_put(batch_stats)
+        predict = make_predict_step(model)
+        mean, std = (parse_imgnorm(self.img_norm) if self.img_norm
+                     else (None, None))
+
+        from ..ops.preprocess import preprocess_batch
+
+        @jax.jit
+        def run_batch(params, batch_stats, canvas, sizes):
+            images = preprocess_batch(canvas, sizes, out_size=self.resize,
+                                      mean=mean, std=std, dtype=jnp.float32)
+            return predict(params, batch_stats, images)
+
+        self._run_batch = run_batch
+
+    def predict_images(self, images):
+        """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).
+        Returns [N, n_classes] float32 softmax scores."""
+        out = []
+        B = self.batch_size
+        for start in range(0, len(images), B):
+            chunk = images[start:start + B]
+            canvas, sizes, n = pack_canvas_batch(
+                chunk, batch_size=B, rgb=chunk[0].ndim == 3)
+            probs = self._run_batch(self.params, self.batch_stats,
+                                    canvas, sizes)
+            out.append(np.asarray(probs)[:n])
+        return np.concatenate(out, axis=0)
+
+    def predict_loader(self, loader):
+        """Stream a HostLoader (image paths) through the engine; returns
+        (probs [N,C], paths in traversal order)."""
+        probs_l, paths = [], []
+        for b in prefetch(iter(loader)):
+            probs = self._run_batch(self.params, self.batch_stats,
+                                    b["canvas"], b["sizes"])
+            n = int(b["mask"].sum())
+            probs_l.append(np.asarray(probs)[:n])
+            paths.extend(loader.items[i] for i in b["indices"][:n])
+        return np.concatenate(probs_l, axis=0), paths
+
+
+def parse_filter(filter_arg):
+    """IN/OUT + keywords or keyword-files (neuston_net.py:199-207)."""
+    if not filter_arg:
+        return None, []
+    mode = filter_arg[0]
+    keywords = []
+    for keyword in filter_arg[1:]:
+        if os.path.isfile(keyword):
+            with open(keyword) as f:
+                keywords.extend(f.read().splitlines())
+        else:
+            keywords.append(keyword)
+    return mode, keywords
+
+
+def bin_images(bin):
+    """{target: image} with schema-v1 stitching (neuston_data.py:446-449)."""
+    if bin.schema == SCHEMA_VERSION_1:
+        return infilled_images(bin)
+    return bin.images
+
+
+def do_run(args):
+    engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
+    import random as _random
+    _random.seed(engine.seed)
+
+    if os.path.isdir(args.SRC) and not args.SRC.endswith(os.sep):
+        args.SRC = args.SRC + os.sep
+
+    if not args.outfile:
+        if args.src_type == "bin":
+            args.outfile = ["D{BIN_YEAR}/D{BIN_DATE}/{BIN_ID}_class.h5"]
+        if args.src_type == "img":
+            args.outfile = ["img_results.json"]
+
+    filter_mode, filter_keywords = parse_filter(args.filter)
+
+    if args.src_type == "bin":
+        if os.path.isdir(args.SRC):
+            wl = filter_keywords if filter_mode == "IN" else None
+            bl = filter_keywords if filter_mode == "OUT" else None
+            dd = DataDirectory(args.SRC, whitelist=wl, blacklist=bl)
+        elif os.path.isfile(args.SRC) and args.SRC.endswith(".txt"):
+            with open(args.SRC) as f:
+                bins = f.read().splitlines()
+            parent = os.path.commonpath(bins)
+            dd = DataDirectory(parent, whitelist=[os.path.basename(b)
+                                                  for b in bins])
+        else:  # single bin
+            parent = os.path.dirname(args.SRC)
+            bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
+            dd = DataDirectory(parent, whitelist=[bin_id])
+
+        error_bins = []
+        n_done = 0
+        for bin in dd:
+            rel = os.path.dirname(
+                bin.fileset.basepath.replace(args.SRC, ""))
+            bin.pid.namespace = rel + os.sep if rel else ""
+            bin_obj = bin.pid
+
+            if args.filter:  # keyword filter on the pid (neuston_net.py:236-240)
+                if filter_mode == "IN" and not any(
+                        k in str(bin_obj) for k in filter_keywords):
+                    continue
+                if filter_mode == "OUT" and any(
+                        k in str(bin_obj) for k in filter_keywords):
+                    continue
+
+            if not args.clobber:
+                fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
+                           BIN_DATE=bin_obj.yearday,
+                           INPUT_SUBDIRS=bin_obj.namespace)
+                ofiles = [os.path.join(args.outdir, o).format(**fmt)
+                          .replace(2 * os.sep, os.sep) for o in args.outfile]
+                if all(os.path.isfile(o) for o in ofiles):
+                    print("{} result-file(s) already exist - skipping this bin"
+                          .format(bin_obj))
+                    continue
+
+            try:
+                images_dict = bin_images(bin)
+                if not images_dict:
+                    error_bins.append((bin_obj, AssertionError("Bin is Empty")))
+                    continue
+                targets = list(images_dict.keys())
+                probs = engine.predict_images(list(images_dict.values()))
+                input_images = [bin_obj.with_target(t) for t in targets]
+                for outfile in args.outfile:
+                    save_run_results(input_images, probs, engine.classes,
+                                     args.cmd_timestamp, args.outdir, outfile,
+                                     engine.model_id, bin_obj)
+                n_done += 1
+                print(".", end="", flush=True)
+            except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
+                error_bins.append((bin_obj, e))
+
+        print("\nRUN IS DONE ({} bins)".format(n_done))
+        if error_bins:
+            print("The following bins failed; they were not processed:")
+            for bin_obj, err in error_bins:
+                print(bin_obj, type(err), err)
+
+    else:  # IMAGES
+        img_paths = list_image_paths(args.SRC, filter_mode, filter_keywords)
+        assert len(img_paths) > 0, "No images to process"
+        loader = HostLoader(img_paths, batch_size=args.batch_size,
+                            num_workers=args.loaders, rgb=True)
+        probs, paths = engine.predict_loader(loader)
+        for outfile in args.outfile:
+            save_run_results(paths, probs, engine.classes, args.cmd_timestamp,
+                             args.outdir, outfile, engine.model_id, args.SRC)
+        print("RUN IS DONE ({} images)".format(len(paths)))

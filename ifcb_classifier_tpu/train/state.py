@@ -1,0 +1,122 @@
+"""Train state and the jitted train/eval steps.
+
+Replaces the reference's LightningModule step methods
+(/root/reference/neuston_models.py:63-149) with pure-functional JAX:
+
+  * Adam lr=0.001, no scheduler (neuston_models.py:63-64) via optax
+  * CE loss; inception aux combined as loss1 + 0.4*loss2 (neuston_models.py:70-78)
+  * batches are padded to a static size and masked (mask=False rows contribute
+    zero loss and are dropped from metrics) so one compiled step serves every
+    batch including the short last one
+  * per-batch *mean* CE over valid rows, matching torch CrossEntropyLoss
+    reduction; the epoch-level val_loss is the SUM of batch means
+    (neuston_models.py:109 — quirky but load-bearing for early-stop parity)
+
+BatchNorm stats live in the 'batch_stats' collection and update each train
+step; dropout/flip randomness threads through an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, rng, input_size: int, learning_rate: float = 0.001):
+    """Initialize params/batch_stats (train=True so aux heads materialize)
+    and the Adam optimizer (torch-default betas/eps, neuston_models.py:63-64)."""
+    dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    p_rng, d_rng = jax.random.split(rng)
+    variables = model.init({"params": p_rng, "dropout": d_rng}, dummy, train=True)
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
+
+
+def cross_entropy(logits, labels, mask):
+    """Mean CE over valid rows (torch CrossEntropyLoss reduction='mean')."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def loss_fn(outputs, labels, mask):
+    """CE with the inception aux rule (neuston_models.py:70-78)."""
+    if isinstance(outputs, tuple) and len(outputs) == 2:
+        main, aux = outputs
+        return cross_entropy(main, labels, mask) + 0.4 * cross_entropy(aux, labels, mask)
+    return cross_entropy(outputs, labels, mask)
+
+
+def make_train_step(model, tx, axis_name: str | None = None):
+    """One SGD step: grads (+psum over `axis_name` if data-parallel),
+    BN update, Adam update. Donates the state buffer."""
+
+    def train_step(state: TrainState, batch, dropout_rng):
+        def compute_loss(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            loss = loss_fn(outputs, batch["labels"], batch["mask"])
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        if axis_name:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Forward + softmax + per-batch mean CE (validation_step parity,
+    neuston_models.py:94-103)."""
+
+    def eval_step(state: TrainState, batch):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], train=False)
+        if isinstance(outputs, tuple):
+            outputs = outputs[0]
+        loss = cross_entropy(outputs, batch["labels"], batch["mask"])
+        probs = jax.nn.softmax(outputs.astype(jnp.float32), axis=-1)
+        return loss, probs
+
+    return eval_step
+
+
+def make_predict_step(model):
+    """Forward + softmax for RUN mode (test_step parity,
+    neuston_models.py:152-157)."""
+
+    def predict_step(params, batch_stats, images):
+        outputs = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+        if isinstance(outputs, tuple):
+            outputs = outputs[0]
+        return jax.nn.softmax(outputs.astype(jnp.float32), axis=-1)
+
+    return predict_step

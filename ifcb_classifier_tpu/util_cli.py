@@ -1,0 +1,188 @@
+"""Auxiliary task CLI — the reference's neuston_util.py
+(/root/reference/neuston_util.py:135-165): MAKE_DATASET_CONFIG,
+MAKE_CLASS_CONFIG, CALC_IMG_NORM; plus PORT_WEIGHTS (torch state_dict →
+ifcbnn checkpoint-ready weights, replacing torchvision's download role).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+
+def write_csv(outfile, rows):
+    """CSV to file or stdout (neuston_util.py:56-63)."""
+    if outfile:
+        with open(outfile, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+    else:
+        for row in rows:
+            print(",".join(str(c) for c in row))
+
+
+def make_dataset_config(args):
+    """Union of class subdirs across datasets → priority-headered CSV
+    (neuston_util.py:66-97)."""
+    datasets, priorities = [], []
+    for src in args.dataset:
+        parts = src.split(":", 1)
+        if len(parts) == 2:
+            datasets.append(parts[1])
+            priorities.append(int(parts[0]))
+        else:
+            datasets.append(parts[0])
+            priorities.append(0)
+    priorities = [p if p > 0 else max(priorities) + 1 for p in priorities]
+
+    classes = set()
+    dataset_subdirs = []
+    for dataset in datasets:
+        subdirs = [d for d in os.listdir(dataset)
+                   if os.path.isdir(os.path.join(dataset, d))]
+        dataset_subdirs.append(subdirs)
+        classes.update(subdirs)
+
+    header = [""] + ["{}:{}".format(p, d) for p, d in zip(priorities, datasets)]
+    rows = [[cls] + ["1" if cls in dssd else "0" for dssd in dataset_subdirs]
+            for cls in sorted(classes)]
+    write_csv(args.outfile, [header] + rows)
+
+
+def make_class_config(args):
+    """Class list → (class,'1') CSV (neuston_util.py:101-121)."""
+    if os.path.isdir(args.dataset):
+        classes = [d for d in os.listdir(args.dataset)
+                   if os.path.isdir(os.path.join(args.dataset, d))]
+    elif os.path.isfile(args.dataset) and args.dataset.endswith(".csv"):
+        with open(args.dataset) as f:
+            reader = csv.reader(f)
+            next(reader)
+            rows = list(reader)
+        classes = [r[0] for r in rows if any(v != "0" for v in r[1:])]
+    else:
+        raise ValueError(f'Dataset is invalid: "{args.dataset}"')
+    classes.sort()
+    write_csv(args.outfile, [[args.dataset, "CONFIG1"]] +
+              [[c, "1"] for c in classes])
+
+
+def calc_img_norm(args):
+    """Dataset channel mean/std: mean of per-batch channel means/stds —
+    the reference's approximate population stats (neuston_util.py:13-54),
+    but computed on-device through the canvas pipeline instead of a torch
+    DataLoader."""
+    import jax
+    import jax.numpy as jnp
+
+    from .data.datasets import NeustonDataset
+    from .data.pipeline import HostLoader, prefetch
+    from .ops.preprocess import preprocess_batch
+
+    if not args.class_config:
+        nd = NeustonDataset(src=args.SRC, minimum_images_per_class=args.class_min,
+                            maximum_images_per_class=args.class_max)
+    else:
+        nd = NeustonDataset.from_csv(
+            src=args.SRC, csv_file=args.class_config[0],
+            column_to_run=args.class_config[1],
+            minimum_images_per_class=args.class_min,
+            maximum_images_per_class=args.class_max)
+
+    loader = HostLoader(nd.images, nd.targets, batch_size=int(args.batch_size),
+                        num_workers=4, shuffle=False)
+
+    @jax.jit
+    def batch_stats(canvas, sizes, mask):
+        x = preprocess_batch(canvas, sizes, out_size=args.resize)
+        m = mask.astype(jnp.float32)[:, None]
+        n = jnp.maximum(m.sum(), 1.0)
+        cm = (x.mean(axis=(1, 2)) * m).sum(0) / n
+        cs = (x.std(axis=(1, 2)) * m).sum(0) / n
+        return cm, cs
+
+    pop_mean, pop_std = [], []
+    num_batches = len(loader)
+    for i, b in enumerate(prefetch(iter(loader)), 1):
+        cm, cs = batch_stats(b["canvas"], b["sizes"], jnp.asarray(b["mask"]))
+        pop_mean.append(np.asarray(cm))
+        pop_std.append(np.asarray(cs))
+        if i % 100 == 0:
+            print("\n{:.1f}% ({} of {}) MEAN={} STD={}".format(
+                100 * i / num_batches, i, num_batches,
+                np.array(pop_mean).mean(axis=0)[0],
+                np.array(pop_std).mean(axis=0)[0]))
+        else:
+            print(".", end="", flush=True)
+    print()
+    return np.array(pop_mean).mean(axis=0), np.array(pop_std).mean(axis=0)
+
+
+def port_weights(args):
+    """Translate a torch state_dict (.pth) into an .npz of torch-keyed numpy
+    arrays usable by TRAIN --weights (models/torch_port.py)."""
+    from .models.torch_port import _load_state_dict
+    sd = _load_state_dict(args.STATE_DICT)
+    out = args.outfile or (os.path.splitext(args.STATE_DICT)[0] + ".npz")
+    np.savez(out, **sd)
+    print("PORTED {} tensors -> {}".format(len(sd), out))
+
+
+def main(args):
+    if args.cmd == "MAKE_DATASET_CONFIG":
+        make_dataset_config(args)
+    elif args.cmd == "MAKE_CLASS_CONFIG":
+        make_class_config(args)
+    elif args.cmd == "CALC_IMG_NORM":
+        print("Calculating Image Normalization MEAN and STD...")
+        mean, std = calc_img_norm(args)
+        print("MEAN={}, STD={}".format(mean, std))
+    elif args.cmd == "PORT_WEIGHTS":
+        port_weights(args)
+
+
+def argparse_util():
+    parser = argparse.ArgumentParser(prog="ifcbnn-util")
+    sub = parser.add_subparsers(dest="cmd",
+                                help="These sub-commands are mutually exclusive.")
+
+    dc = sub.add_parser("MAKE_DATASET_CONFIG",
+                        help="Creates a default dataset-combining configuration file.")
+    dc.add_argument("dataset", metavar="PATH", nargs="+",
+                    help='Dataset paths, optionally prefixed "n:" with an '
+                         "integer priority (lower = higher priority).")
+    dc.add_argument("-o", "--outfile", help="Output file; default stdout.")
+
+    cc = sub.add_parser("MAKE_CLASS_CONFIG",
+                        help="Creates a default class-config csv file.")
+    cc.add_argument("dataset", metavar="PATH",
+                    help="dataset directory or dataset-config csv.")
+    cc.add_argument("-o", "--outfile", help="Output file; default stdout.")
+
+    im = sub.add_parser("CALC_IMG_NORM",
+                        help="Calculate dataset MEAN/STD for image normalizing")
+    im.add_argument("SRC")
+    im.add_argument("--resize", metavar="N", default=299, type=int,
+                    choices=[224, 299], help="Default is 299 (for inception_v3)")
+    im.add_argument("--class-config", metavar=("CSV", "COL"), nargs=2)
+    im.add_argument("--class-min", metavar="MIN", default=2, type=int)
+    im.add_argument("--class-max", metavar="MAX", default=None, type=int)
+    im.add_argument("--batch-size", metavar="B", default=108)
+
+    pw = sub.add_parser("PORT_WEIGHTS",
+                        help="Convert a torch state_dict .pth to .npz for "
+                             "TRAIN --weights")
+    pw.add_argument("STATE_DICT")
+    pw.add_argument("-o", "--outfile")
+    return parser
+
+
+def main_cli(argv=None):
+    args = argparse_util().parse_args(argv)
+    main(args)
+
+
+if __name__ == "__main__":
+    main_cli()

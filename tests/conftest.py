@@ -1,8 +1,17 @@
-"""Test env: force JAX onto CPU with 8 virtual devices BEFORE jax initializes,
-so data-parallel sharding is exercised without TPU hardware (SURVEY.md §4)."""
+"""Test env: force JAX onto CPU with 8 virtual devices so data-parallel
+sharding is exercised without TPU hardware (SURVEY.md §4).
+
+This container's sitecustomize registers the 'axon' (real TPU tunnel) backend
+in every interpreter and pins it regardless of JAX_PLATFORMS env — only a
+post-import `jax.config.update('jax_platforms', ...)` overrides it. Compiles
+over the tunnel take minutes, so tests must stay on host CPU.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -37,15 +37,21 @@ def main():
                  labels=jnp.asarray(rng.randint(0, 50, BATCH), jnp.int32),
                  mask=jnp.ones((BATCH,), bool))
 
-    # warmup / compile
-    state, loss = step(state, batch, jax.random.PRNGKey(1))
-    loss.block_until_ready()
+    # warmup / compile (2 steps: the first post-donation step also differs)
+    for i in range(2):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+    _ = float(loss)
 
+    # NOTE: through the axon tunnel, block_until_ready() alone over-reports
+    # throughput (async completion signals are unreliable on this
+    # experimental platform) — force REAL device->host fetches of the loss
+    # and a param checksum so timing covers the whole dependency chain.
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
         state, loss = step(state, batch, jax.random.PRNGKey(i))
-    loss.block_until_ready()
+    _ = float(loss)
+    _ = float(jnp.sum(jnp.abs(state.params["fc"]["kernel"]).astype(jnp.float32)))
     dt = time.perf_counter() - t0
     imgs_per_sec = BATCH * iters / dt
 

@@ -84,6 +84,52 @@ class InferenceEngine:
             out.append(np.asarray(probs)[:n])
         return np.concatenate(out, axis=0)
 
+    def predict_bin(self, bin):
+        """Fast path for schema-v2 bins: ROIs are packed straight from the
+        .roi byte buffer into canvas batches by the native C++ packer
+        (native/roipack.cpp) — no per-image Python objects at all. Schema-v1
+        bins (needing stitching) use the generic path.
+
+        Returns (targets, probs) aligned, targets in ascending order.
+        """
+        from ..data.pipeline import ladder_size
+
+        if bin.schema == SCHEMA_VERSION_1:
+            images_dict = infilled_images(bin)
+            if not images_dict:
+                return [], np.zeros((0, len(self.classes)), np.float32)
+            targets = list(images_dict.keys())
+            return targets, self.predict_images(list(images_dict.values()))
+
+        from .. import native
+        adc = bin.adc
+        keep = np.nonzero((adc["roiWidth"] > 0) & (adc["roiHeight"] > 0))[0]
+        if keep.size == 0:
+            return [], np.zeros((0, len(self.classes)), np.float32)
+        heights = adc["roiHeight"][keep]
+        widths = adc["roiWidth"][keep]
+        starts = adc["startByte"][keep]
+        targets = keep + 1
+        ladders = np.asarray([ladder_size(int(max(h, w)))
+                              for h, w in zip(heights, widths)])
+
+        roi_buf = bin._roi_bytes
+        B = self.batch_size
+        probs_by_target = {}
+        for S in np.unique(ladders):
+            idx = np.nonzero(ladders == S)[0]
+            for c0 in range(0, idx.size, B):
+                sel = idx[c0:c0 + B]
+                canvas, sizes = native.pack_rois_native(
+                    roi_buf, starts[sel], heights[sel], widths[sel],
+                    batch_size=B, canvas_size=int(S))
+                probs = np.asarray(self._run_batch(
+                    self.params, self.batch_stats, canvas, sizes))
+                for k, j in enumerate(sel):
+                    probs_by_target[int(targets[j])] = probs[k]
+        ordered = sorted(probs_by_target)
+        return ordered, np.stack([probs_by_target[t] for t in ordered])
+
     def predict_loader(self, loader):
         """Stream a HostLoader (image paths) through the engine; returns
         (probs [N,C], paths in traversal order)."""
@@ -179,12 +225,10 @@ def do_run(args):
                     continue
 
             try:
-                images_dict = bin_images(bin)
-                if not images_dict:
+                targets, probs = engine.predict_bin(bin)
+                if not targets:
                     error_bins.append((bin_obj, AssertionError("Bin is Empty")))
                     continue
-                targets = list(images_dict.keys())
-                probs = engine.predict_images(list(images_dict.values()))
                 input_images = [bin_obj.with_target(t) for t in targets]
                 for outfile in args.outfile:
                     save_run_results(input_images, probs, engine.classes,

@@ -1,0 +1,102 @@
+"""Native ROI packer tests: C++ path vs numpy fallback equivalence, bounds
+safety, and the InferenceEngine bin fast path alignment."""
+
+import numpy as np
+import pytest
+
+from ifcb_classifier_tpu import native
+from fixtures import make_roi, write_bin
+
+
+def _make_buffer(rois):
+    starts, blob = [], bytearray()
+    for r in rois:
+        starts.append(len(blob))
+        blob.extend(r.tobytes())
+    return (np.frombuffer(bytes(blob), np.uint8),
+            np.asarray(starts, np.int64),
+            np.asarray([r.shape[0] for r in rois], np.int64),
+            np.asarray([r.shape[1] for r in rois], np.int64))
+
+
+class TestRoipack:
+    def test_native_builds(self):
+        assert native.available(), getattr(native, "_build_error", None)
+
+    def test_pack_correct(self):
+        rois = [make_roi(10, 20, 1), make_roi(5, 7, 2), make_roi(32, 32, 3)]
+        buf, starts, hs, ws = _make_buffer(rois)
+        canvas, sizes = native.pack_rois_native(buf, starts, hs, ws,
+                                                batch_size=4, canvas_size=32)
+        assert canvas.shape == (4, 32, 32)
+        for i, r in enumerate(rois):
+            h, w = r.shape
+            np.testing.assert_array_equal(canvas[i, :h, :w], r)
+            assert (canvas[i, h:, :] == 0).all() and (canvas[i, :, w:] == 0).all()
+            assert tuple(sizes[i]) == (h, w)
+        assert tuple(sizes[3]) == (1, 1)  # pad row
+
+    def test_native_matches_fallback(self):
+        rois = [make_roi(h, w, h * w) for h, w in
+                [(3, 5), (64, 64), (17, 129), (1, 1)]]
+        buf, starts, hs, ws = _make_buffer(rois)
+        c1, s1 = native.pack_rois_native(buf, starts, hs, ws, 8, 128)
+        # force fallback
+        lib, native._lib = native._lib, None
+        err, native._build_error = native._build_error, RuntimeError("forced")
+        try:
+            c2, s2 = native.pack_rois_native(buf, starts, hs, ws, 8, 128)
+        finally:
+            native._lib, native._build_error = lib, err
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_out_of_bounds_roi_skipped(self):
+        rois = [make_roi(4, 4, 0)]
+        buf, starts, hs, ws = _make_buffer(rois)
+        starts = np.asarray([9999], np.int64)  # past end of buffer
+        canvas, sizes = native.pack_rois_native(buf, starts, hs, ws, 2, 32)
+        assert tuple(sizes[0]) == (0, 0)
+        assert (canvas[0] == 0).all()
+
+    def test_oversize_roi_clamped(self):
+        rois = [make_roi(40, 50, 4)]
+        buf, starts, hs, ws = _make_buffer(rois)
+        canvas, sizes = native.pack_rois_native(buf, starts, hs, ws, 1, 32)
+        assert tuple(sizes[0]) == (32, 32)
+        np.testing.assert_array_equal(canvas[0], rois[0][:32, :32])
+
+
+class TestPredictBinAlignment:
+    def test_targets_ordered_and_aligned(self, tmp_path):
+        """Bin with mixed ROI sizes spanning two ladder buckets + an empty
+        row: predict_bin must return ascending targets aligned with probs."""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+        import jax.numpy as jnp
+
+        model = get_namebrand_model("squeezenet", 3, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 224)
+        ckpt = str(tmp_path / "m.ptl")
+        save_checkpoint(ckpt, state.params, state.batch_stats,
+                        dict(MODEL="squeezenet", classes=["a", "b", "c"],
+                             resize=224, model_id="m", seed=1, img_norm=None))
+
+        rois = [make_roi(20, 30, 1), None, make_roi(200, 40, 2),
+                make_roi(8, 8, 3)]
+        base = write_bin(str(tmp_path), "D20240301T000000_IFCB900", rois, 2)
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        engine = InferenceEngine(ckpt, batch_size=4, dtype=jnp.float32)
+        targets, probs = engine.predict_bin(Bin(base + ".adc"))
+        assert targets == [1, 3, 4]
+        assert probs.shape == (3, 3)
+        np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-4)
+
+        # alignment: target 3 (the 200x40 ROI, different bucket) must equal a
+        # direct single-image prediction
+        direct = engine.predict_images([rois[2]])
+        np.testing.assert_allclose(probs[1], direct[0], atol=1e-4)

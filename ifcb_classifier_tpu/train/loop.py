@@ -103,7 +103,10 @@ def do_training(args):
     with open(os.path.join(args.outdir, "validation_images.list"), "w") as f:
         f.write("\n".join(sorted(validation_dataset.images)))
 
-    args.resize = input_size_for(args.MODEL)
+    # IFCBNN_RESIZE_OVERRIDE: test hook — tiny input sizes keep CPU-compile
+    # test runs fast; production always uses the 299/224 rule.
+    args.resize = int(os.environ.get("IFCBNN_RESIZE_OVERRIDE", 0)) or \
+        input_size_for(args.MODEL)
     img_norm = parse_imgnorm(args.img_norm) if args.img_norm else None
     flip = args.flip or ""
     flip_x, flip_y = "x" in flip, "y" in flip

@@ -1,0 +1,141 @@
+"""End-to-end train-loop tests on CPU with tiny inputs: artifact contract,
+early stopping, checkpoint round trip, determinism."""
+
+import argparse
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_image_folder_dataset
+
+
+def make_args(src, outdir, **kw):
+    d = dict(cmd_mode="TRAIN", SRC=src, MODEL="resnet18", TRAIN_ID="tt",
+             batch_size=8, loaders=2, precision="fp32", pretrained=False,
+             weights=None, img_norm=None, seed=3, split="80:20",
+             class_config=None, class_min=2, class_max=None, swap=False,
+             emax=2, emin=1, estop=0, flip=None, outdir=outdir,
+             model_id="{TRAIN_ID}", epochs_log="epochs.csv",
+             args_log="args.yml", onnx=False, export=False,
+             result_files=[["results.json", "image_basenames",
+                            "output_scores", "f1_perclass"]],
+             dataset_id=None, notes=None, profile=0, nan_check=False,
+             cmd_timestamp="2026-08-16T00:00:00+00:00", version="test",
+             devices=[])
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+    root = tmp_path_factory.mktemp("train")
+    src = write_image_folder_dataset(str(root / "ds"),
+                                     {"a": 10, "b": 10, "c": 10},
+                                     size=(36, 28))
+    outdir = str(root / "out")
+    args = make_args(src, outdir)
+    from ifcb_classifier_tpu.train.loop import do_training
+    ckpt = do_training(args)
+    os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+    return args, outdir, ckpt
+
+
+class TestTrainArtifacts:
+    def test_model_artifact(self, trained):
+        args, outdir, ckpt = trained
+        assert ckpt == os.path.join(outdir, "tt.ptl")
+        assert os.path.isfile(ckpt)
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+        params, stats, hparams = load_checkpoint(ckpt)
+        assert hparams["classes"] == ["a", "b", "c"]
+        assert hparams["MODEL"] == "resnet18"
+        assert hparams["seed"] == 3
+        assert hparams["model_id"] == "tt"
+        assert "fc" in params
+
+    def test_epochs_csv(self, trained):
+        _, outdir, _ = trained
+        with open(os.path.join(outdir, "epochs.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert set(rows[0]) == {"epoch", "best", "train_loss", "val_loss",
+                                "f1_macro", "f1_weighted"}
+        assert rows[0]["epoch"] == "0"
+
+    def test_args_yml(self, trained):
+        import yaml
+        _, outdir, _ = trained
+        with open(os.path.join(outdir, "args.yml")) as f:
+            dumped = yaml.safe_load(f)
+        assert dumped["seed"] == 3
+        assert dumped["classes"] == ["a", "b", "c"]
+
+    def test_image_lists_disjoint_and_sorted(self, trained):
+        _, outdir, _ = trained
+        tr = open(os.path.join(outdir, "training_images.list")).read().splitlines()
+        va = open(os.path.join(outdir, "validation_images.list")).read().splitlines()
+        assert tr == sorted(tr) and va == sorted(va)
+        assert not set(tr) & set(va)
+        assert len(tr) == 24 and len(va) == 6
+
+    def test_validation_results_json(self, trained):
+        _, outdir, _ = trained
+        with open(os.path.join(outdir, "results.json")) as f:
+            res = json.load(f)
+        assert res["class_labels"] == ["a", "b", "c"]
+        assert len(res["output_scores"]) == 6
+        assert len(res["f1_perclass"]) == 3
+        assert len(res["image_basenames"]) == 6
+
+    def test_checkpoint_dir_has_best(self, trained):
+        _, outdir, _ = trained
+        cks = os.listdir(os.path.join(outdir, "chkpts"))
+        assert any(c.startswith("epoch=") for c in cks)
+
+
+class TestEarlyStop:
+    def test_stops_after_patience(self, tmp_path):
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 6, "b": 6}, size=(20, 20))
+            # lr so high the first epoch is usually best; estop=2, emin=1
+            args = make_args(src, str(tmp_path / "out"), emax=30, emin=1,
+                             estop=2, seed=11)
+            from ifcb_classifier_tpu.train.loop import do_training
+            do_training(args)
+            with open(os.path.join(str(tmp_path / "out"), "epochs.csv")) as f:
+                rows = list(csv.DictReader(f))
+            assert len(rows) < 30  # stopped early
+            best_epochs = [int(r["epoch"]) for r in rows if r["best"] == "True"]
+            assert len(rows) == max(best_epochs) + 2 + 1  # patience honored
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+
+class TestRunRoundtrip:
+    def test_run_on_images_from_trained_ckpt(self, trained, tmp_path):
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            args, outdir, ckpt = trained
+            run_args = argparse.Namespace(
+                cmd_mode="RUN", SRC=args.SRC, MODEL=ckpt, RUN_ID="r",
+                batch_size=8, loaders=2, precision="fp32", src_type="img",
+                outdir=str(tmp_path / "runout"), outfile=None, filter=None,
+                clobber=False, gobig=False,
+                cmd_timestamp="2026-08-16T00:00:00+00:00")
+            from ifcb_classifier_tpu.infer.runner import do_run, InferenceEngine
+            # engine applies hparams resize (32 via override at train time? no:
+            # hparams recorded resize=32) — consistent end to end
+            do_run(run_args)
+            with open(tmp_path / "runout" / "img_results.json") as f:
+                res = json.load(f)
+            assert res["version"] == "v3"
+            assert len(res["output_classes"]) == 30
+            assert res["class_labels"] == ["a", "b", "c"]
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)

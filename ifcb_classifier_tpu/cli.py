@@ -142,6 +142,12 @@ def argparse_nn_train(train):
                       help="Associate a dataset id label with this model")
     meta.add_argument("--notes", help="Add any kind of note to the trained model")
 
+    epochs_extra = train.add_argument_group(title="Resume")
+    epochs_extra.add_argument("--resume", action="store_true",
+                              help="Resume mid-training from "
+                                   "OUTDIR/chkpts/last.state if present "
+                                   "(full optimizer state)")
+
     dbg = train.add_argument_group(title="Observability")
     dbg.add_argument("--profile", metavar="N", default=0, type=int,
                      help="Capture a jax.profiler trace of N train steps into "

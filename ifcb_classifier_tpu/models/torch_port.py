@@ -76,12 +76,17 @@ def _flax_path_to_torch_key(family: str, path: list[str], leaf_name: str) -> str
         return p
 
     parts = [tr(p) for p in parts]
-    # inner wrappers: our ConvT names its nn.Conv 'conv'; BatchNormT names 'bn'
     joined = ".".join(parts)
-    for suffix in (".conv", ".bn"):
-        if joined.endswith(suffix):
-            joined = joined[: -len(suffix)]
-            break
+    # inner wrappers: our ConvT names its nn.Conv 'conv'; BatchNormT names
+    # 'bn'. torchvision's plain models use bare Conv2d/BatchNorm2d modules so
+    # the wrapper level is stripped — EXCEPT inception, whose BasicConv2d
+    # keeps .conv/.bn submodule names in the state_dict (e.g.
+    # Mixed_5b.branch1x1.conv.weight, .bn.running_mean).
+    if family != "inception_v3":
+        for suffix in (".conv", ".bn"):
+            if joined.endswith(suffix):
+                joined = joined[: -len(suffix)]
+                break
 
     leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
                 "mean": "running_mean", "var": "running_var"}

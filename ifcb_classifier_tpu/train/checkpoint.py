@@ -58,6 +58,34 @@ def load_checkpoint(path: str):
     return payload["params"], payload["batch_stats"], hparams
 
 
+def save_train_state(path: str, state, extra: dict):
+    """Full-fidelity step checkpoint for mid-training resume (params +
+    batch_stats + optimizer moments + loop bookkeeping). The reference's
+    checkpoints are model artifacts only — no true resume (SURVEY.md §5.4)."""
+    import jax
+    payload = {
+        "format": FORMAT_TAG + "-trainstate",
+        "extra_json": json.dumps(_jsonable(extra)),
+        "state": flax.serialization.to_state_dict(jax.device_get(state)),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    import os
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template_state):
+    """Returns (state, extra_dict); template_state supplies the pytree
+    structure (build it with create_train_state first)."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if payload.get("format") != FORMAT_TAG + "-trainstate":
+        raise ValueError(f"{path}: not an ifcbnn train-state checkpoint")
+    state = flax.serialization.from_state_dict(template_state, payload["state"])
+    return state, json.loads(payload["extra_json"])
+
+
 def tree_float32(tree):
     """Cast all float leaves to f32 (load-time normalization)."""
     return jax.tree_util.tree_map(

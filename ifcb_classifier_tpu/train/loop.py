@@ -41,7 +41,7 @@ from ..models import get_namebrand_model, input_size_for
 from ..ops.preprocess import preprocess_batch
 from ..results.validation import (DEFAULT_SERIES, compute_validation_results,
                                   save_validation_results)
-from .checkpoint import save_checkpoint
+from .checkpoint import (load_train_state, save_checkpoint, save_train_state)
 from .state import TrainState, create_train_state, make_eval_step, make_train_step
 
 
@@ -167,7 +167,22 @@ def do_training(args):
     best_val_loss = np.inf
     best_epoch = 0
     best_ckpt_path = None
+    start_epoch = 0
     profile_steps = int(getattr(args, "profile", 0) or 0)
+
+    # mid-training resume (beyond-reference capability, SURVEY.md §5.4):
+    # chkpts/last.state carries params+opt moments+loop bookkeeping
+    last_state_path = os.path.join(chkpt_dir, "last.state")
+    if getattr(args, "resume", False) and os.path.isfile(last_state_path):
+        state, extra = load_train_state(last_state_path, state)
+        start_epoch = extra["epoch"] + 1
+        best_val_loss = extra["best_val_loss"]
+        best_epoch = extra["best_epoch"]
+        best_ckpt_path = extra.get("best_ckpt_path")
+        epoch_csv.rows = extra.get("csv_rows", [])
+        rng = jax.random.PRNGKey(args.seed + start_epoch)
+        train_loader._epoch = start_epoch
+        print(f"Resumed from {last_state_path} at epoch {start_epoch}")
 
     def run_validation(state):
         """Returns (val_loss_sum, probs, input_classes, input_srcs)."""
@@ -186,9 +201,9 @@ def do_training(args):
         return (float(np.sum(losses)), np.concatenate(probs_l),
                 np.concatenate(classes_l), srcs)
 
-    epoch = 0
+    epoch = start_epoch
     step_count = 0
-    for epoch in range(args.emax):
+    for epoch in range(start_epoch, args.emax):
         # --- train ---
         t0 = time.time()
         agg_train_loss = 0.0
@@ -259,6 +274,10 @@ def do_training(args):
                 outfile = os.path.join(args.outdir, fname).format(epoch=epoch)
                 os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
                 save_validation_results(outfile, results)
+
+        save_train_state(last_state_path, state, dict(
+            epoch=epoch, best_val_loss=best_val_loss, best_epoch=best_epoch,
+            best_ckpt_path=best_ckpt_path, csv_rows=epoch_csv.rows))
 
         # early stopping (EarlyStopping('val_loss', patience), neuston_net.py:58-59;
         # min_epochs gate neuston_net.py:103)

@@ -1,0 +1,125 @@
+"""Mid-training resume + torch weight-port round trips + export round trip."""
+
+import argparse
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_image_folder_dataset
+from test_train_loop import make_args
+
+
+class TestResume:
+    def test_resume_continues_epochs(self, tmp_path):
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 8, "b": 8}, size=(20, 20))
+            outdir = str(tmp_path / "out")
+            from ifcb_classifier_tpu.train.loop import do_training
+            do_training(make_args(src, outdir, emax=2, seed=5))
+            # resume for 2 more epochs
+            do_training(make_args(src, outdir, emax=4, seed=5, resume=True))
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                rows = list(csv.DictReader(f))
+            assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3]
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+
+class TestTorchPort:
+    @pytest.mark.parametrize("family,size", [
+        ("resnet18", 64), ("densenet121", 64), ("alexnet", 224),
+        ("vgg11", 224), ("squeezenet", 224), ("inception_v3", 299)])
+    def test_roundtrip_through_torch_keys(self, family, size, tmp_path):
+        """export_state_dict -> .npz -> load_torch_weights must reproduce the
+        original trees exactly (validates key mapping + layout transposes
+        both ways)."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_port import (
+            export_state_dict, port_state_dict)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model(family, 5, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(1), size)
+        sd = export_state_dict(family, state.params, state.batch_stats)
+        assert all(k.endswith((".weight", ".bias", ".running_mean",
+                               ".running_var")) for k in sd)
+
+        # port back into freshly initialized trees (different seed)
+        state2, _ = create_train_state(model, jax.random.PRNGKey(2), size)
+        new_params, new_stats = port_state_dict(
+            family, sd, state2.params, state2.batch_stats, skip_head=False)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(new_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(new_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_skip_head_preserves_fresh_fc(self):
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_port import (
+            export_state_dict, port_state_dict)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model1000 = get_namebrand_model("resnet18", 1000, dtype=jnp.float32)
+        s1000, _ = create_train_state(model1000, jax.random.PRNGKey(1), 64)
+        sd = export_state_dict("resnet18", s1000.params, s1000.batch_stats)
+
+        model5 = get_namebrand_model("resnet18", 5, dtype=jnp.float32)
+        s5, _ = create_train_state(model5, jax.random.PRNGKey(2), 64)
+        new_params, _ = port_state_dict("resnet18", sd, s5.params,
+                                        s5.batch_stats, skip_head=True)
+        # trunk ported
+        np.testing.assert_array_equal(
+            np.asarray(new_params["conv1"]["conv"]["kernel"]),
+            np.asarray(s1000.params["conv1"]["conv"]["kernel"]))
+        # head untouched (fresh init, 5-class)
+        np.testing.assert_array_equal(
+            np.asarray(new_params["fc"]["kernel"]),
+            np.asarray(s5.params["fc"]["kernel"]))
+
+
+class TestExport:
+    def test_stablehlo_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.export import export_model, run_exported
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                     make_predict_step)
+
+        model = get_namebrand_model("squeezenet", 3, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 64)
+        ckpt = str(tmp_path / "m.ptl")
+        save_checkpoint(ckpt, state.params, state.batch_stats,
+                        dict(MODEL="squeezenet", classes=["x", "y", "z"],
+                             resize=64, model_id="m", seed=1, img_norm=None))
+        out = export_model(ckpt, str(tmp_path / "m.stablehlo"), batchsize=4)
+        assert os.path.isfile(out)
+        assert open(out + ".classes").read().splitlines() == ["x", "y", "z"]
+
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"c": 4},
+                                         size=(32, 32))
+        scores, paths = run_exported(out, src, batch_size=4)
+        assert scores.shape == (4, 3)
+        np.testing.assert_allclose(scores.sum(1), 1.0, atol=1e-4)
+
+        # parity with direct prediction
+        predict = make_predict_step(model)
+        from ifcb_classifier_tpu.data.pipeline import decode_image, pack_canvas_batch
+        from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+        imgs = [decode_image(p) for p in sorted(paths)]
+        canvas, sizes, _ = pack_canvas_batch(imgs, batch_size=4)
+        x = preprocess_batch(canvas, sizes, out_size=64)
+        direct = np.asarray(predict(state.params, state.batch_stats, x))
+        order = np.argsort(paths)
+        np.testing.assert_allclose(scores[order], direct, atol=1e-4)

@@ -16,6 +16,69 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def bench_infer():
+    """Secondary mode (BENCH_MODE=infer): raw-bin batch inference throughput —
+    .roi bytes → native C++ pack → device resize+normalize → inception fwd →
+    softmax fetch. The BASELINE.json config #5 analog on one chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ifcb_classifier_tpu import native
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+    from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                 make_predict_step)
+    from ifcb_classifier_tpu.utils.config import enable_compile_cache
+
+    enable_compile_cache()
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    S = 128  # typical ROI ladder bucket
+
+    model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), 299)
+    predict = make_predict_step(model)
+
+    @jax.jit
+    def run_batch(params, stats, canvas, sizes):
+        x = preprocess_batch(canvas, sizes, out_size=299, dtype=jnp.float32)
+        return predict(params, stats, x)
+
+    # synthetic .roi buffer: 4096 ROIs of plausible sizes
+    rng = np.random.RandomState(0)
+    n_rois = 4096
+    hs = rng.randint(24, 120, n_rois).astype(np.int64)
+    ws = rng.randint(24, 120, n_rois).astype(np.int64)
+    starts = np.zeros(n_rois, np.int64)
+    off = 0
+    for i in range(n_rois):
+        starts[i] = off
+        off += hs[i] * ws[i]
+    roi_buf = rng.randint(0, 256, off, dtype=np.uint8)
+
+    # warm
+    canvas, sizes = native.pack_rois_native(roi_buf, starts[:B], hs[:B],
+                                            ws[:B], B, S)
+    probs = run_batch(state.params, state.batch_stats, canvas, sizes)
+    _ = np.asarray(probs).sum()
+
+    t0 = time.perf_counter()
+    done = 0
+    for c0 in range(0, n_rois, B):
+        sel = slice(c0, min(c0 + B, n_rois))
+        n = sel.stop - sel.start
+        canvas, sizes = native.pack_rois_native(
+            roi_buf, starts[sel], hs[sel], ws[sel], B, S)
+        probs = run_batch(state.params, state.batch_stats, canvas, sizes)
+        done += n
+    _ = float(np.asarray(probs).sum())
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "raw_bin_inference_imgs_per_sec_per_chip",
+        "value": round(done / dt, 2), "unit": "images/sec/chip",
+        "vs_baseline": 1.0}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -24,6 +87,9 @@ def main():
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.train.state import create_train_state, make_train_step
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
+
+    if os.environ.get("BENCH_MODE") == "infer":
+        return bench_infer()
 
     enable_compile_cache()
 

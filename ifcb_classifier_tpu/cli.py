@@ -196,6 +196,8 @@ def main_cli(argv=None):
     if args.cmd_mode is None:
         parser.error('Positional Argument "TRAIN" or "RUN" must be specified.')
     enable_compile_cache()
+    from .parallel.distributed import initialize_from_env
+    initialize_from_env()
     add_runtime_params(args)
     mid = model_id_from_checkpoint(args.MODEL) if args.cmd_mode == "RUN" else None
     proc_outdir(args, model_id_for_run=mid)

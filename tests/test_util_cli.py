@@ -1,0 +1,108 @@
+"""Util CLI tests: img-norm calculation, config generators, weight porting."""
+
+import csv
+import os
+
+import numpy as np
+
+from fixtures import write_image_folder_dataset
+
+
+class TestCalcImgNorm:
+    def test_uniform_gray_dataset(self, tmp_path):
+        """Dataset of constant-value images -> mean == value/255, std == 0."""
+        from PIL import Image
+        src = tmp_path / "ds"
+        for cls, val in [("a", 100), ("b", 200)]:
+            os.makedirs(src / cls)
+            for i in range(3):
+                arr = np.full((30, 30, 3), val, np.uint8)
+                Image.fromarray(arr).save(src / cls / f"{i}.png")
+        from ifcb_classifier_tpu.util_cli import main_cli
+        import argparse
+        from ifcb_classifier_tpu.util_cli import calc_img_norm
+        args = argparse.Namespace(SRC=str(src), class_config=None,
+                                  class_min=1, class_max=None,
+                                  resize=224, batch_size=4)
+        mean, std = calc_img_norm(args)
+        # one batch of a's and b's plus remainder: mean of batch means
+        assert 0.3 < mean[0] < 0.75
+        assert std[0] < 0.3
+        assert mean.shape == (3,)
+
+    def test_mixed_dataset_plausible(self, tmp_path):
+        src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                         {"a": 6, "b": 6}, size=(25, 25))
+        import argparse
+        from ifcb_classifier_tpu.util_cli import calc_img_norm
+        args = argparse.Namespace(SRC=src, class_config=None, class_min=1,
+                                  class_max=None, resize=224, batch_size=8)
+        mean, std = calc_img_norm(args)
+        # stats are computed AFTER the square resize (as in the reference,
+        # neuston_util.py:15): upscaling 25->224 interpolates, so std drops
+        # well below the raw-noise 0.29. Ground-truth via PIL on the same set.
+        from PIL import Image
+        from ifcb_classifier_tpu.data.datasets import NeustonDataset
+        nd = NeustonDataset(src, minimum_images_per_class=1)
+        ref = []
+        for p in nd.images:
+            a = np.asarray(Image.open(p).convert("RGB").resize(
+                (224, 224), Image.BILINEAR), np.float32) / 255.0
+            ref.append((a.mean((0, 1)), a.std((0, 1))))
+        ref_mean = np.mean([m for m, _ in ref], axis=0)
+        ref_std = np.mean([s for _, s in ref], axis=0)
+        np.testing.assert_allclose(mean, ref_mean, atol=0.02)
+        np.testing.assert_allclose(std, ref_std, atol=0.02)
+
+
+class TestConfigGenerators:
+    def test_make_dataset_config(self, tmp_path):
+        d1 = write_image_folder_dataset(str(tmp_path / "d1"), {"a": 1, "b": 1})
+        d2 = write_image_folder_dataset(str(tmp_path / "d2"), {"b": 1, "c": 1})
+        import argparse
+        from ifcb_classifier_tpu.util_cli import make_dataset_config
+        out = str(tmp_path / "cfg.csv")
+        make_dataset_config(argparse.Namespace(
+            dataset=[f"1:{d1}", d2], outfile=out))
+        with open(out) as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["", f"1:{d1}", f"2:{d2}"]
+        assert rows[1:] == [["a", "1", "0"], ["b", "1", "1"], ["c", "0", "1"]]
+
+    def test_make_class_config_from_dir(self, tmp_path):
+        d1 = write_image_folder_dataset(str(tmp_path / "d1"), {"z": 1, "a": 1})
+        import argparse
+        from ifcb_classifier_tpu.util_cli import make_class_config
+        out = str(tmp_path / "cc.csv")
+        make_class_config(argparse.Namespace(dataset=d1, outfile=out))
+        with open(out) as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == [d1, "CONFIG1"]
+        assert rows[1:] == [["a", "1"], ["z", "1"]]
+
+    def test_make_class_config_from_csv(self, tmp_path):
+        cfg = tmp_path / "ds.csv"
+        cfg.write_text(",1:x,2:y\na,1,0\nb,0,0\nc,0,1\n")
+        import argparse
+        from ifcb_classifier_tpu.util_cli import make_class_config
+        out = str(tmp_path / "cc.csv")
+        make_class_config(argparse.Namespace(dataset=str(cfg), outfile=out))
+        with open(out) as f:
+            rows = list(csv.reader(f))
+        # b dropped (all-zero row)
+        assert [r[0] for r in rows[1:]] == ["a", "c"]
+
+
+class TestPortWeightsCLI:
+    def test_port_weights_npz(self, tmp_path):
+        import torch
+        sd = {"conv1.weight": torch.randn(4, 3, 3, 3),
+              "bn1.weight": torch.ones(4)}
+        pth = str(tmp_path / "w.pth")
+        torch.save(sd, pth)
+        import argparse
+        from ifcb_classifier_tpu.util_cli import port_weights
+        port_weights(argparse.Namespace(STATE_DICT=pth, outfile=None))
+        out = np.load(str(tmp_path / "w.npz"))
+        assert set(out.files) == {"conv1.weight", "bn1.weight"}
+        assert out["conv1.weight"].shape == (4, 3, 3, 3)

@@ -35,8 +35,11 @@ def _weights(src, size_canvas: int, size_out: int):
     src = src.astype(dtype)
     scale = src / size_out
     fscale = jnp.maximum(scale, 1.0)
-    i = jax.lax.broadcasted_iota(dtype, (size_out, size_canvas), 0)
-    j = jax.lax.broadcasted_iota(dtype, (size_out, size_canvas), 1)
+    # Mosaic tpu.iota is integer-only; build int32 and cast
+    i = jax.lax.broadcasted_iota(jnp.int32, (size_out, size_canvas), 0
+                                 ).astype(dtype)
+    j = jax.lax.broadcasted_iota(jnp.int32, (size_out, size_canvas), 1
+                                 ).astype(dtype)
     center = (i + 0.5) * scale
     w = jnp.maximum(0.0, 1.0 - jnp.abs(j + 0.5 - center) / fscale)
     w = jnp.where(j < src, w, 0.0)
@@ -61,7 +64,8 @@ def preprocess_gray_pallas(canvas, sizes, *, out_size: int, mean=None,
         w = sizes_ref[b, 1]
         wh = _weights(h, S, r)                             # [r, S]
         ww = _weights(w, S, r)                             # [r, S]
-        img = canvas_ref[0].astype(jnp.float32)            # [S, S]
+        # Mosaic has no direct u8->f32 cast; hop through i32 (exact for 0..255)
+        img = canvas_ref[0].astype(jnp.int32).astype(jnp.float32)  # [S, S]
         t = jax.lax.dot_general(wh, img, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [r, S]
         t = jax.lax.dot_general(t, ww, (((1,), (1,)), ((), ())),

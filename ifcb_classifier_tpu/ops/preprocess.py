@@ -94,12 +94,23 @@ def preprocess_batch(canvas, sizes, rng=None, *, out_size, mean=None, std=None,
     Normalize(mean,std) (neuston_data.py:347-350), optional flips.
     """
     gray = canvas.ndim == 3
-    if gray:
-        canvas = canvas[..., None]
 
-    resize = functools.partial(resize_bilinear_matmul, out_size=out_size,
-                               dtype=jnp.float32)
-    x = jax.vmap(resize)(canvas, sizes[:, 0], sizes[:, 1])  # [B,r,r,C] f32
+    if gray:
+        # channel-free batched matmuls: [B,r,S]@[B,S,S]@[B,S,r] — clean MXU
+        # batched-GEMM shapes (the einsum-with-channel form lowers poorly)
+        wh = jax.vmap(lambda h: resize_weights(h, canvas.shape[1], out_size)
+                      )(sizes[:, 0])
+        ww = jax.vmap(lambda w: resize_weights(w, canvas.shape[2], out_size)
+                      )(sizes[:, 1])
+        x = jnp.matmul(wh, canvas.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        x = jnp.matmul(x, ww.transpose(0, 2, 1),
+                       preferred_element_type=jnp.float32)
+        x = x[..., None]
+    else:
+        resize = functools.partial(resize_bilinear_matmul, out_size=out_size,
+                                   dtype=jnp.float32)
+        x = jax.vmap(resize)(canvas, sizes[:, 0], sizes[:, 1])  # [B,r,r,C]
     x = x * (1.0 / 255.0)
     x = jnp.clip(x, 0.0, 1.0)
 

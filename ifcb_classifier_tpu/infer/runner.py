@@ -62,13 +62,29 @@ class InferenceEngine:
 
         from ..ops.preprocess import preprocess_batch
 
-        @jax.jit
-        def run_batch(params, batch_stats, canvas, sizes):
+        def run_batch_fn(params, batch_stats, canvas, sizes):
             images = preprocess_batch(canvas, sizes, out_size=self.resize,
                                       mean=mean, std=std, dtype=jnp.float32)
             return predict(params, batch_stats, images)
 
-        self._run_batch = run_batch
+        # multi-device: shard the canvas batch over 'data', replicate params
+        # — the v5e-pod deployment shape (BASELINE config #5). Single chip
+        # degenerates to plain jit.
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import make_mesh
+            if self.batch_size % n_dev:
+                self.batch_size = -(-self.batch_size // n_dev) * n_dev
+            mesh = make_mesh(n_data=n_dev, n_model=1)
+            rep = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P("data"))
+            self._run_batch = jax.jit(
+                run_batch_fn,
+                in_shardings=(None, None, shard, shard),
+                out_shardings=rep)
+        else:
+            self._run_batch = jax.jit(run_batch_fn)
 
     def predict_images(self, images):
         """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).

@@ -142,8 +142,34 @@ def do_training(args):
               "initializing randomly (no torchvision downloads here — port "
               "a state_dict with ifcbnn-util PORT_WEIGHTS).")
 
-    train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
-    eval_step = jax.jit(make_eval_step(model))
+    # Device mesh: with >1 device the batch shards over 'data' and the
+    # classifier head over 'model' automatically (parallel/mesh.py); XLA
+    # emits the gradient psums from the sharding annotations. Single device
+    # degenerates to plain jit.
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from ..parallel.mesh import (make_mesh, replicated, shard_batch,
+                                     state_shardings)
+        if args.batch_size % n_dev:
+            args.batch_size = -(-args.batch_size // n_dev) * n_dev
+            print(f"Rounded batch up to {args.batch_size} "
+                  f"(divisible by {n_dev} devices)")
+            train_loader.batch_size = args.batch_size
+            val_loader.batch_size = args.batch_size
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        sh = state_shardings(state, mesh)
+        state = jax.device_put(state, sh)
+        train_step = jax.jit(make_train_step(model, tx),
+                             in_shardings=(sh, None, None),
+                             out_shardings=(sh, replicated(mesh)),
+                             donate_argnums=0)
+        eval_step = jax.jit(make_eval_step(model))
+        put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"Data-parallel over {n_dev} devices")
+    else:
+        train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+        eval_step = jax.jit(make_eval_step(model))
+        put_batch = lambda b: b  # noqa: E731
 
     mean, std = (img_norm if img_norm else (None, None))
     pp_train = jax.jit(lambda c, s, r: preprocess_batch(
@@ -190,9 +216,9 @@ def do_training(args):
         for b in prefetch(iter(val_loader)):
             rng_b = jax.random.PRNGKey(0)
             images = pp_val(b["canvas"], b["sizes"], rng_b)
-            loss, probs = eval_step(state, dict(
+            loss, probs = eval_step(state, put_batch(dict(
                 images=images, labels=jnp.asarray(b["labels"]),
-                mask=jnp.asarray(b["mask"])))
+                mask=jnp.asarray(b["mask"]))))
             n = int(b["mask"].sum())
             losses.append(float(loss))
             probs_l.append(np.asarray(probs)[:n])
@@ -213,8 +239,9 @@ def do_training(args):
             images = pp_train(b["canvas"], b["sizes"], rng_pp)
             if profile_steps and step_count == 2:
                 jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
-            batch = dict(images=images, labels=jnp.asarray(b["labels"]),
-                         mask=jnp.asarray(b["mask"]))
+            batch = put_batch(dict(images=images,
+                                   labels=jnp.asarray(b["labels"]),
+                                   mask=jnp.asarray(b["mask"])))
             state, loss = train_step(state, batch, rng_do)
             agg_train_loss += float(loss)  # .item() parity, neuston_models.py:85
             n_imgs += int(b["mask"].sum())

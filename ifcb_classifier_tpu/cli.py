@@ -94,6 +94,10 @@ def argparse_nn_train(train):
                       help="Limit classes to a MAX number of instances. ")
     data.add_argument("--swap", default=False, action="store_true",
                       help=argparse.SUPPRESS)
+    data.add_argument("--balanced", default=False, action="store_true",
+                      help="Class-balanced sampling (with replacement, "
+                           "inverse-frequency weights) for the training "
+                           "epoch stream")
 
     epochs = train.add_argument_group(title="Epoch Parameters")
     epochs.add_argument("--emax", metavar="MAX", default=60, type=int,

@@ -92,7 +92,7 @@ class HostLoader:
     """
 
     def __init__(self, items, labels=None, batch_size=108, num_workers=4,
-                 shuffle=False, seed=0, rgb=True):
+                 shuffle=False, seed=0, rgb=True, balanced=False):
         self.items = list(items)
         self.labels = list(labels) if labels is not None else None
         self.batch_size = int(batch_size)
@@ -100,6 +100,7 @@ class HostLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.rgb = rgb
+        self.balanced = balanced and labels is not None
         self._epoch = 0
 
     def __len__(self):
@@ -111,10 +112,21 @@ class HostLoader:
         return decode_image(item, rgb=self.rgb)
 
     def __iter__(self):
-        order = np.arange(len(self.items))
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed or 0) + self._epoch)
-            rng.shuffle(order)
+        rng = np.random.default_rng((self.seed or 0) + self._epoch)
+        if self.balanced:
+            # class-balanced sampling (with replacement, inverse-frequency
+            # weights): one "epoch" still draws len(items) samples, but each
+            # class contributes ~equally — the BASELINE config #4 sampler the
+            # reference lacks (its only lever is --class-max truncation).
+            labels = np.asarray(self.labels)
+            counts = np.bincount(labels)
+            weights = 1.0 / counts[labels]
+            order = rng.choice(len(self.items), size=len(self.items),
+                               replace=True, p=weights / weights.sum())
+        else:
+            order = np.arange(len(self.items))
+            if self.shuffle:
+                rng.shuffle(order)
         self._epoch += 1
         B = self.batch_size
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

@@ -120,7 +120,8 @@ def do_training(args):
     train_loader = HostLoader(training_dataset.images, training_dataset.targets,
                               batch_size=args.batch_size,
                               num_workers=args.loaders, shuffle=True,
-                              seed=args.seed)
+                              seed=args.seed,
+                              balanced=getattr(args, "balanced", False))
     val_loader = HostLoader(validation_dataset.images, validation_dataset.targets,
                             batch_size=args.batch_size,
                             num_workers=args.loaders, shuffle=False)
@@ -172,9 +173,11 @@ def do_training(args):
         put_batch = lambda b: b  # noqa: E731
 
     mean, std = (img_norm if img_norm else (None, None))
+    # train-path images go to the model in its compute dtype (bf16 on TPU):
+    # halves the preprocess→step HBM roundtrip; validation stays f32
     pp_train = jax.jit(lambda c, s, r: preprocess_batch(
         c, s, r, out_size=args.resize, mean=mean, std=std,
-        flip_x=flip_x, flip_y=flip_y, dtype=jnp.float32))
+        flip_x=flip_x, flip_y=flip_y, dtype=dtype))
     pp_val = jax.jit(lambda c, s, r: preprocess_batch(
         c, s, r, out_size=args.resize, mean=mean, std=std,
         flip_x=flip_x and flip_val, flip_y=flip_y and flip_val,

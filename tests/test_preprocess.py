@@ -98,3 +98,26 @@ class TestHostLoader:
         e2 = next(iter(loader))["labels"].tolist()
         assert sorted(e1) == list(range(10))
         assert e1 != e2  # reshuffled across epochs
+
+
+class TestBalancedSampling:
+    def test_balanced_epoch_composition(self):
+        from ifcb_classifier_tpu.data.pipeline import HostLoader
+        import numpy as np
+        # 90:10 imbalance
+        items = [make_roi(8, 8, s) for s in range(100)]
+        labels = [0] * 90 + [1] * 10
+        loader = HostLoader(items, labels, batch_size=100, shuffle=True,
+                            seed=3, rgb=False, balanced=True)
+        got = next(iter(loader))["labels"]
+        frac1 = (got == 1).mean()
+        assert 0.3 < frac1 < 0.7  # ~0.5 under balancing, 0.1 without
+
+    def test_unbalanced_unchanged(self):
+        from ifcb_classifier_tpu.data.pipeline import HostLoader
+        items = [make_roi(8, 8, s) for s in range(20)]
+        labels = [0] * 18 + [1] * 2
+        loader = HostLoader(items, labels, batch_size=20, shuffle=True,
+                            seed=3, rgb=False)
+        got = sorted(next(iter(loader))["labels"].tolist())
+        assert got == sorted(labels)  # permutation, no replacement

@@ -139,6 +139,15 @@ class InferenceEngine:
                 canvas, sizes = native.pack_rois_native(
                     roi_buf, starts[sel], heights[sel], widths[sel],
                     batch_size=B, canvas_size=int(S))
+                # packer marks out-of-bounds ROIs (truncated .roi) as (0,0):
+                # fail the whole bin so it lands in the error report instead
+                # of silently classifying garbage pixels
+                bad = np.nonzero(sizes[:len(sel), 0] == 0)[0]
+                if bad.size:
+                    raise ValueError(
+                        "corrupt bin: ROI byte range out of bounds for "
+                        "target(s) {}".format(
+                            [int(targets[sel[j]]) for j in bad[:5]]))
                 probs = np.asarray(self._run_batch(
                     self.params, self.batch_stats, canvas, sizes))
                 for k, j in enumerate(sel):

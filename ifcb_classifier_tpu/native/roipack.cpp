@@ -66,12 +66,4 @@ int roipack_pack(const uint8_t* roi, int64_t roi_len,
     return bad ? -1 : 0;
 }
 
-// Gray [B,S,S] -> replicated RGB [B,S,S,3] (for mixed gray/RGB batches).
-void roipack_gray_to_rgb(const uint8_t* gray, int64_t count, uint8_t* rgb) {
-    for (int64_t i = 0; i < count; i++) {
-        uint8_t v = gray[i];
-        rgb[3 * i] = v; rgb[3 * i + 1] = v; rgb[3 * i + 2] = v;
-    }
-}
-
 }  // extern "C"

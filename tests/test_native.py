@@ -100,3 +100,45 @@ class TestPredictBinAlignment:
         # direct single-image prediction
         direct = engine.predict_images([rois[2]])
         np.testing.assert_allclose(probs[1], direct[0], atol=1e-4)
+
+
+class TestBinErrorIsolation:
+    def test_corrupt_bin_isolated_in_run(self, tmp_path, capsys):
+        """A bin with a truncated .roi must be reported as failed while
+        sibling bins still produce outputs (neuston_net.py:266-278 parity)."""
+        import argparse, jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.infer.runner import do_run
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("squeezenet", 2, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 224)
+        ckpt = str(tmp_path / "m.ptl")
+        save_checkpoint(ckpt, state.params, state.batch_stats,
+                        dict(MODEL="squeezenet", classes=["a", "b"],
+                             resize=224, model_id="m", seed=1, img_norm=None))
+
+        bins = tmp_path / "bins"
+        write_bin(str(bins), "D20240101T000000_IFCB900",
+                  [make_roi(20, 20, 1)], 2)
+        bad = write_bin(str(bins), "D20240102T000000_IFCB900",
+                        [make_roi(30, 30, 2)], 2)
+        with open(bad + ".adc", "w") as f:  # adc says 64k bytes; roi has 900
+            f.write(",".join(["1"] + ["0"] * 14 + ["256", "256", "0"]
+                             + ["0"] * 6) + "\n")
+
+        args = argparse.Namespace(
+            cmd_mode="RUN", SRC=str(bins), MODEL=ckpt, RUN_ID="r",
+            batch_size=4, loaders=1, src_type="bin",
+            outdir=str(tmp_path / "out"), outfile=["{BIN_ID}.json"],
+            filter=None, clobber=False, gobig=False,
+            cmd_timestamp="2026-08-16T00:00:00+00:00")
+        do_run(args)
+        out = capsys.readouterr().out
+        assert (tmp_path / "out" / "D20240101T000000_IFCB900.json").exists()
+        assert not (tmp_path / "out" / "D20240102T000000_IFCB900.json").exists()
+        assert "The following bins failed" in out
+        assert "D20240102T000000_IFCB900" in out

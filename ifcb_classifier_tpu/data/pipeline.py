@@ -134,8 +134,15 @@ class HostLoader:
                 idx = order[start:start + B]
                 images = list(pool.map(self._materialize,
                                        (self.items[i] for i in idx)))
-                canvas, sizes, n = pack_canvas_batch(images, batch_size=B,
+                # pad short batches by CYCLING real images, not zeros:
+                # masked rows are excluded from loss/metrics, but BatchNorm
+                # statistics see every row — zero images would poison them
+                n_real = len(images)
+                while len(images) < B:
+                    images.append(images[len(images) % n_real])
+                canvas, sizes, n = pack_canvas_batch(images[:B], batch_size=B,
                                                      rgb=self.rgb)
+                n = n_real
                 labels = np.zeros(B, dtype=np.int32)
                 if self.labels is not None:
                     labels[:n] = [self.labels[i] for i in idx]

@@ -215,7 +215,7 @@ def do_training(args):
 
     def run_validation(state):
         """Returns (val_loss_sum, probs, input_classes, input_srcs)."""
-        losses, probs_l, classes_l, srcs = [], [], [], []
+        losses, probs_l, ns, classes_l, srcs = [], [], [], [], []
         for b in prefetch(iter(val_loader)):
             rng_b = jax.random.PRNGKey(0)
             images = pp_val(b["canvas"], b["sizes"], rng_b)
@@ -223,10 +223,13 @@ def do_training(args):
                 images=images, labels=jnp.asarray(b["labels"]),
                 mask=jnp.asarray(b["mask"]))))
             n = int(b["mask"].sum())
-            losses.append(float(loss))
-            probs_l.append(np.asarray(probs)[:n])
+            losses.append(loss)          # device scalars — fetched once below
+            probs_l.append(probs)
+            ns.append(n)
             classes_l.append(b["labels"][:n])
             srcs.extend(val_loader.items[i] for i in b["indices"][:n])
+        losses = jax.device_get(losses)
+        probs_l = [p[:n] for p, n in zip(jax.device_get(probs_l), ns)]
         return (float(np.sum(losses)), np.concatenate(probs_l),
                 np.concatenate(classes_l), srcs)
 
@@ -235,7 +238,10 @@ def do_training(args):
     for epoch in range(start_epoch, args.emax):
         # --- train ---
         t0 = time.time()
-        agg_train_loss = 0.0
+        epoch_losses = []  # device scalars; ONE host sync at epoch end —
+        # a per-step float(loss) would serialize host<->device every step
+        # (the reference's .item() per batch, neuston_models.py:85; the sum
+        # is identical, just fetched asynchronously)
         n_imgs = 0
         for b in prefetch(iter(train_loader)):
             rng, rng_pp, rng_do = jax.random.split(rng, 3)
@@ -246,12 +252,13 @@ def do_training(args):
                                    labels=jnp.asarray(b["labels"]),
                                    mask=jnp.asarray(b["mask"])))
             state, loss = train_step(state, batch, rng_do)
-            agg_train_loss += float(loss)  # .item() parity, neuston_models.py:85
+            epoch_losses.append(loss)
             n_imgs += int(b["mask"].sum())
             step_count += 1
             if profile_steps and step_count == 2 + profile_steps:
                 jax.profiler.stop_trace()
                 profile_steps = 0
+        agg_train_loss = float(np.sum(jax.device_get(epoch_losses)))
         train_time = time.time() - t0
 
         # --- validate (epoch-level sum of batch means, neuston_models.py:109) ---

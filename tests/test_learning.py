@@ -11,7 +11,7 @@ import numpy as np
 from test_train_loop import make_args
 
 
-def write_color_dataset(root, n_per_class=12, size=(30, 24)):
+def write_color_dataset(root, n_per_class=16, size=(30, 24)):
     from PIL import Image
     rng = np.random.default_rng(0)
     colors = {"reddish": (200, 40, 40), "greenish": (40, 200, 40),
@@ -20,7 +20,7 @@ def write_color_dataset(root, n_per_class=12, size=(30, 24)):
         d = os.path.join(root, cls)
         os.makedirs(d, exist_ok=True)
         for i in range(n_per_class):
-            noise = rng.normal(0, 25, size=(size[0], size[1], 3))
+            noise = rng.normal(0, 15, size=(size[0], size[1], 3))
             arr = np.clip(np.asarray(base) + noise, 0, 255).astype(np.uint8)
             Image.fromarray(arr).save(os.path.join(d, f"{cls}_{i:02d}.png"))
     return root
@@ -31,7 +31,9 @@ def test_learns_separable_classes(tmp_path):
     try:
         src = write_color_dataset(str(tmp_path / "ds"))
         outdir = str(tmp_path / "out")
-        args = make_args(src, outdir, emax=4, emin=1, estop=0, seed=1,
+        # batch rounds to 16 under the 8-device test mesh -> 2 updates/epoch;
+        # 6 epochs gives 12 updates, comfortably enough for separable colors
+        args = make_args(src, outdir, emax=6, emin=1, estop=0, seed=1,
                          batch_size=12)
         from ifcb_classifier_tpu.train.loop import do_training
         do_training(args)

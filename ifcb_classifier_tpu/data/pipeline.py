@@ -137,12 +137,11 @@ class HostLoader:
                 # pad short batches by CYCLING real images, not zeros:
                 # masked rows are excluded from loss/metrics, but BatchNorm
                 # statistics see every row — zero images would poison them
-                n_real = len(images)
+                n = len(images)
                 while len(images) < B:
-                    images.append(images[len(images) % n_real])
-                canvas, sizes, n = pack_canvas_batch(images[:B], batch_size=B,
+                    images.append(images[len(images) % n])
+                canvas, sizes, _ = pack_canvas_batch(images, batch_size=B,
                                                      rgb=self.rgb)
-                n = n_real
                 labels = np.zeros(B, dtype=np.int32)
                 if self.labels is not None:
                     labels[:n] = [self.labels[i] for i in idx]

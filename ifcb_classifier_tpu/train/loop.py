@@ -228,10 +228,13 @@ def do_training(args):
             ns.append(n)
             classes_l.append(b["labels"][:n])
             srcs.extend(val_loader.items[i] for i in b["indices"][:n])
+        # f64 accumulation: per-batch losses were Python floats in the
+        # reference (.item()), so the epoch sum must not lose f32 bits —
+        # the strictly-less best-epoch comparison rides on it
         losses = jax.device_get(losses)
         probs_l = [p[:n] for p, n in zip(jax.device_get(probs_l), ns)]
-        return (float(np.sum(losses)), np.concatenate(probs_l),
-                np.concatenate(classes_l), srcs)
+        return (float(np.sum(losses, dtype=np.float64)),
+                np.concatenate(probs_l), np.concatenate(classes_l), srcs)
 
     epoch = start_epoch
     step_count = 0
@@ -258,7 +261,8 @@ def do_training(args):
             if profile_steps and step_count == 2 + profile_steps:
                 jax.profiler.stop_trace()
                 profile_steps = 0
-        agg_train_loss = float(np.sum(jax.device_get(epoch_losses)))
+        agg_train_loss = float(np.sum(jax.device_get(epoch_losses),
+                                      dtype=np.float64))
         train_time = time.time() - t0
 
         # --- validate (epoch-level sum of batch means, neuston_models.py:109) ---

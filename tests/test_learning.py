@@ -31,8 +31,9 @@ def test_learns_separable_classes(tmp_path):
     try:
         src = write_color_dataset(str(tmp_path / "ds"))
         outdir = str(tmp_path / "out")
-        # batch rounds to 16 under the 8-device test mesh -> 2 updates/epoch;
-        # 6 epochs gives 12 updates, comfortably enough for separable colors
+        # batch rounds to 16 under the 8-device test mesh -> 3 updates/epoch
+        # (39 train imgs), 18 updates over 6 epochs — plenty for separable
+        # colors and enough steps for BN running stats to settle
         args = make_args(src, outdir, emax=6, emin=1, estop=0, seed=1,
                          batch_size=12)
         from ifcb_classifier_tpu.train.loop import do_training

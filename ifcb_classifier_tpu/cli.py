@@ -51,6 +51,10 @@ def argparse_nn(parser=None):
     common.add_argument("--precision", choices=["auto", "bf16", "fp32"],
                         default="auto",
                         help="Compute dtype; auto = bf16 on TPU, fp32 on CPU")
+    common.add_argument("--remat", action="store_true",
+                        help="Rematerialize activations in backprop "
+                             "(~1.3x FLOPs for much lower memory; enables "
+                             "larger --batch)")
 
     argparse_nn_train(train)
     argparse_nn_run(run)

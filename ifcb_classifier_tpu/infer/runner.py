@@ -88,17 +88,21 @@ class InferenceEngine:
 
     def predict_images(self, images):
         """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).
-        Returns [N, n_classes] float32 softmax scores."""
-        out = []
+        Returns [N, n_classes] float32 softmax scores.
+
+        Dispatches all chunks asynchronously and fetches once at the end, so
+        host→device transfer of chunk k+1 overlaps compute of chunk k."""
+        pending, ns = [], []
         B = self.batch_size
         for start in range(0, len(images), B):
             chunk = images[start:start + B]
             canvas, sizes, n = pack_canvas_batch(
                 chunk, batch_size=B, rgb=chunk[0].ndim == 3)
-            probs = self._run_batch(self.params, self.batch_stats,
-                                    canvas, sizes)
-            out.append(np.asarray(probs)[:n])
-        return np.concatenate(out, axis=0)
+            pending.append(self._run_batch(self.params, self.batch_stats,
+                                           canvas, sizes))
+            ns.append(n)
+        fetched = jax.device_get(pending)
+        return np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0)
 
     def predict_bin(self, bin):
         """Fast path for schema-v2 bins: ROIs are packed straight from the
@@ -131,7 +135,8 @@ class InferenceEngine:
 
         roi_buf = bin._roi_bytes
         B = self.batch_size
-        probs_by_target = {}
+        pending = []  # (device probs, sel) — fetched once at bin end so the
+        # next chunk's pack+transfer overlaps this chunk's compute
         for S in np.unique(ladders):
             idx = np.nonzero(ladders == S)[0]
             for c0 in range(0, idx.size, B):
@@ -148,10 +153,13 @@ class InferenceEngine:
                         "corrupt bin: ROI byte range out of bounds for "
                         "target(s) {}".format(
                             [int(targets[sel[j]]) for j in bad[:5]]))
-                probs = np.asarray(self._run_batch(
-                    self.params, self.batch_stats, canvas, sizes))
-                for k, j in enumerate(sel):
-                    probs_by_target[int(targets[j])] = probs[k]
+                pending.append((self._run_batch(
+                    self.params, self.batch_stats, canvas, sizes), sel))
+        probs_by_target = {}
+        for probs, sel in zip(jax.device_get([p for p, _ in pending]),
+                              [s for _, s in pending]):
+            for k, j in enumerate(sel):
+                probs_by_target[int(targets[j])] = probs[k]
         ordered = sorted(probs_by_target)
         return ordered, np.stack([probs_by_target[t] for t in ordered])
 

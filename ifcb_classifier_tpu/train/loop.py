@@ -160,7 +160,8 @@ def do_training(args):
         mesh = make_mesh(n_data=n_dev, n_model=1)
         sh = state_shardings(state, mesh)
         state = jax.device_put(state, sh)
-        train_step = jax.jit(make_train_step(model, tx),
+        train_step = jax.jit(make_train_step(model, tx,
+                                             remat=getattr(args, "remat", False)),
                              in_shardings=(sh, None, None),
                              out_shardings=(sh, replicated(mesh)),
                              donate_argnums=0)
@@ -168,7 +169,9 @@ def do_training(args):
         put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
         print(f"Data-parallel over {n_dev} devices")
     else:
-        train_step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+        train_step = jax.jit(make_train_step(model, tx,
+                                             remat=getattr(args, "remat", False)),
+                             donate_argnums=0)
         eval_step = jax.jit(make_eval_step(model))
         put_batch = lambda b: b  # noqa: E731
 

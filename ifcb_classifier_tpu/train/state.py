@@ -63,17 +63,29 @@ def loss_fn(outputs, labels, mask):
     return cross_entropy(outputs, labels, mask)
 
 
-def make_train_step(model, tx, axis_name: str | None = None):
+def make_train_step(model, tx, axis_name: str | None = None,
+                    remat: bool = False):
     """One SGD step: grads (+psum over `axis_name` if data-parallel),
-    BN update, Adam update. Donates the state buffer."""
+    BN update, Adam update. Donates the state buffer.
+
+    remat=True rematerializes the forward pass in backprop (jax.checkpoint):
+    ~1.3x FLOPs for a several-fold activation-memory cut, unlocking larger
+    per-chip batches (inception@299 spills HBM past batch 128 without it).
+    """
 
     def train_step(state: TrainState, batch, dropout_rng):
-        def compute_loss(params):
-            outputs, mutated = model.apply(
+        def apply_fn(params, images):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"], train=True,
+                images, train=True,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"])
+
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+
+        def compute_loss(params):
+            outputs, mutated = apply_fn(params, batch["images"])
             loss = loss_fn(outputs, batch["labels"], batch["mask"])
             return loss, mutated["batch_stats"]
 

@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 import random
 
-import numpy as np
-
 # torchvision.datasets.folder.IMG_EXTENSIONS (used at neuston_data.py:69,387
 # and neuston_net.py:285) — reproduced as a plain constant.
 IMG_EXTENSIONS = ('.jpg', '.jpeg', '.png', '.ppm', '.bmp',

@@ -191,13 +191,6 @@ def parse_filter(filter_arg):
     return mode, keywords
 
 
-def bin_images(bin):
-    """{target: image} with schema-v1 stitching (neuston_data.py:446-449)."""
-    if bin.schema == SCHEMA_VERSION_1:
-        return infilled_images(bin)
-    return bin.images
-
-
 def do_run(args):
     engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
     import random as _random

@@ -20,8 +20,6 @@ tests/test_pallas.py (interpret mode on CPU, real kernel on TPU).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

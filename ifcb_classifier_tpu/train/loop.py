@@ -42,7 +42,7 @@ from ..ops.preprocess import preprocess_batch
 from ..results.validation import (DEFAULT_SERIES, compute_validation_results,
                                   save_validation_results)
 from .checkpoint import (load_train_state, save_checkpoint, save_train_state)
-from .state import TrainState, create_train_state, make_eval_step, make_train_step
+from .state import create_train_state, make_eval_step, make_train_step
 
 
 def seed_everything(seed):

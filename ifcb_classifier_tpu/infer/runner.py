@@ -223,9 +223,20 @@ def do_run(args):
             bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
             dd = DataDirectory(parent, whitelist=[bin_id])
 
+        # multi-host fleet: each process takes every P-th bin — the job-level
+        # fan-out the reference delegated to SLURM submission
+        # (neuston_sbatch.py), here built in (SURVEY.md §2.3 comm backend row)
+        proc_idx, proc_cnt = 0, 1
+        try:
+            proc_idx, proc_cnt = jax.process_index(), jax.process_count()
+        except Exception:
+            pass
+
         error_bins = []
         n_done = 0
-        for bin in dd:
+        for bin_no, bin in enumerate(dd):
+            if proc_cnt > 1 and bin_no % proc_cnt != proc_idx:
+                continue
             rel = os.path.dirname(
                 bin.fileset.basepath.replace(args.SRC, ""))
             bin.pid.namespace = rel + os.sep if rel else ""

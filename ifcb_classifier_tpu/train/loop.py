@@ -116,14 +116,25 @@ def do_training(args):
     if getattr(args, "nan_check", False):
         jax.config.update("jax_debug_nans", True)
 
-    # Loaders (reference DataLoader roles, neuston_net.py:80-84)
-    train_loader = HostLoader(training_dataset.images, training_dataset.targets,
-                              batch_size=args.batch_size,
+    # Loaders (reference DataLoader roles, neuston_net.py:80-84).
+    # Multi-host: each process loads only its slice of the manifest and
+    # contributes a per-host sub-batch; --batch stays the GLOBAL batch size.
+    n_proc = jax.process_count()
+    tr_items, tr_labels = training_dataset.images, training_dataset.targets
+    va_items, va_labels = validation_dataset.images, validation_dataset.targets
+    local_batch = args.batch_size
+    if n_proc > 1:
+        from ..parallel.distributed import shard_manifest
+        tr_items, tr_labels = shard_manifest(tr_items, tr_labels)
+        va_items, va_labels = shard_manifest(va_items, va_labels)
+        local_batch = -(-args.batch_size // n_proc)
+    train_loader = HostLoader(tr_items, tr_labels,
+                              batch_size=local_batch,
                               num_workers=args.loaders, shuffle=True,
-                              seed=args.seed,
+                              seed=args.seed + jax.process_index(),
                               balanced=getattr(args, "balanced", False))
-    val_loader = HostLoader(validation_dataset.images, validation_dataset.targets,
-                            batch_size=args.batch_size,
+    val_loader = HostLoader(va_items, va_labels,
+                            batch_size=local_batch,
                             num_workers=args.loaders, shuffle=False)
 
     # Model + state
@@ -147,7 +158,7 @@ def do_training(args):
     # classifier head over 'model' automatically (parallel/mesh.py); XLA
     # emits the gradient psums from the sharding annotations. Single device
     # degenerates to plain jit.
-    n_dev = len(jax.devices())
+    n_dev = len(jax.devices())  # global across processes
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
@@ -155,8 +166,9 @@ def do_training(args):
             args.batch_size = -(-args.batch_size // n_dev) * n_dev
             print(f"Rounded batch up to {args.batch_size} "
                   f"(divisible by {n_dev} devices)")
-            train_loader.batch_size = args.batch_size
-            val_loader.batch_size = args.batch_size
+        local_batch = args.batch_size // n_proc
+        train_loader.batch_size = local_batch
+        val_loader.batch_size = local_batch
         mesh = make_mesh(n_data=n_dev, n_model=1)
         sh = state_shardings(state, mesh)
         state = jax.device_put(state, sh)
@@ -165,9 +177,24 @@ def do_training(args):
                              in_shardings=(sh, None, None),
                              out_shardings=(sh, replicated(mesh)),
                              donate_argnums=0)
-        eval_step = jax.jit(make_eval_step(model))
-        put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
-        print(f"Data-parallel over {n_dev} devices")
+        # replicated eval outputs: every host can fetch the full probs
+        eval_step = jax.jit(make_eval_step(model),
+                            out_shardings=(replicated(mesh), replicated(mesh)))
+        if n_proc > 1:
+            # assemble the global batch from per-host sub-batches; XLA sees
+            # one logical [B_global, ...] array sharded over 'data'
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put_batch(b):
+                out = {}
+                for k, v in b.items():
+                    sh = NamedSharding(mesh, P("data"))
+                    out[k] = jax.make_array_from_process_local_data(sh, v)
+                return out
+        else:
+            put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"Data-parallel over {n_dev} devices "
+              f"({n_proc} process{'es' if n_proc > 1 else ''})")
     else:
         train_step = jax.jit(make_train_step(model, tx,
                                              remat=getattr(args, "remat", False)),
@@ -217,8 +244,18 @@ def do_training(args):
         print(f"Resumed from {last_state_path} at epoch {start_epoch}")
 
     def run_validation(state):
-        """Returns (val_loss_sum, probs, input_classes, input_srcs)."""
+        """Returns (val_loss_sum, probs, input_classes, input_srcs).
+
+        Multi-host (n_proc>1): each host streams its manifest slice; probs
+        come back replicated (global batch in), and per-host rows are
+        reassembled into global order via allgathered manifest indices
+        (strings can't ride collectives, so paths are resolved from indices
+        on every host — the global validation manifest is identical
+        everywhere). Hardware-unvalidated here (single-host env); guarded so
+        the single-process path is byte-identical to before.
+        """
         losses, probs_l, ns, classes_l, srcs = [], [], [], [], []
+        gathered_idx = []
         for b in prefetch(iter(val_loader)):
             rng_b = jax.random.PRNGKey(0)
             images = pp_val(b["canvas"], b["sizes"], rng_b)
@@ -231,13 +268,46 @@ def do_training(args):
             ns.append(n)
             classes_l.append(b["labels"][:n])
             srcs.extend(val_loader.items[i] for i in b["indices"][:n])
+            gathered_idx.append(b["indices"][:n])
         # f64 accumulation: per-batch losses were Python floats in the
         # reference (.item()), so the epoch sum must not lose f32 bits —
         # the strictly-less best-epoch comparison rides on it
+        if n_proc == 1:
+            losses = jax.device_get(losses)
+            probs_l = [p[:n] for p, n in zip(jax.device_get(probs_l), ns)]
+            return (float(np.sum(losses, dtype=np.float64)),
+                    np.concatenate(probs_l), np.concatenate(classes_l), srcs)
+
+        from jax.experimental import multihost_utils
+        B_local = val_loader.batch_size
+        # global probs per batch: [B_global, C]; this host's rows live at
+        # [proc*B_local : proc*B_local+n]; other hosts' rows are recovered by
+        # allgathering (probs already replicated; masks/indices gathered)
+        probs_g = jax.device_get(probs_l)
+        local_meta = dict(
+            ns=np.asarray(ns, np.int32),
+            idx=np.stack([np.pad(i, (0, B_local - len(i)), constant_values=-1)
+                          for i in gathered_idx]))
+        meta = multihost_utils.process_allgather(local_meta, tiled=False)
+        all_probs, all_classes, all_srcs = [], [], []
+        # reconstruct: global manifest item g belongs to host g%P at local
+        # row g//P (shard_manifest uses items[p::P])
+        va_all = validation_dataset.images
+        lab_all = validation_dataset.targets
+        for bi, probs in enumerate(probs_g):
+            for p in range(n_proc):
+                if bi >= len(meta["ns"][p]):
+                    continue
+                n_p = int(meta["ns"][p][bi])
+                rows = probs[p * B_local: p * B_local + n_p]
+                loc = meta["idx"][p][bi][:n_p]
+                glob = [p + int(li) * n_proc for li in loc]
+                all_probs.append(rows)
+                all_classes.extend(lab_all[g] for g in glob)
+                all_srcs.extend(va_all[g] for g in glob)
         losses = jax.device_get(losses)
-        probs_l = [p[:n] for p, n in zip(jax.device_get(probs_l), ns)]
         return (float(np.sum(losses, dtype=np.float64)),
-                np.concatenate(probs_l), np.concatenate(classes_l), srcs)
+                np.concatenate(all_probs), np.asarray(all_classes), all_srcs)
 
     epoch = start_epoch
     step_count = 0

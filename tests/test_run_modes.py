@@ -1,0 +1,130 @@
+"""RUN-mode coverage the reference never had (its .txt-list / single-bin
+paths are literally marked '# TODO TEST', neuston_net.py:220,225): bin lists,
+single bin, IN/OUT filters, clobber/skip, {epoch} results patterns."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_roi, write_bin, write_image_folder_dataset
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+    from ifcb_classifier_tpu.train.state import create_train_state
+
+    model = get_namebrand_model("resnet18", 2, dtype=jnp.float32)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+    p = str(tmp_path_factory.mktemp("ck") / "m.ptl")
+    save_checkpoint(p, state.params, state.batch_stats,
+                    dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                         model_id="m", seed=1, img_norm=None))
+    return p
+
+
+def run_args(src, ckpt, outdir, **kw):
+    d = dict(cmd_mode="RUN", SRC=src, MODEL=ckpt, RUN_ID="r", batch_size=8,
+             loaders=1, src_type="bin", outdir=outdir,
+             outfile=["{BIN_ID}.json"], filter=None, clobber=False,
+             gobig=False, cmd_timestamp="2026-08-16T00:00:00+00:00")
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+@pytest.fixture(scope="module")
+def bin_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bins")
+    for i, sub in enumerate(["x", "x", "y"]):
+        write_bin(str(root / sub), f"D2024010{i + 1}T000000_IFCB900",
+                  [make_roi(16, 20, i), make_roi(10, 10, i + 7)], 2)
+    return root
+
+
+class TestBinModes:
+    def test_txt_bin_list(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        lst = tmp_path / "bins.txt"
+        lst.write_text("{}\n{}\n".format(
+            bin_tree / "x" / "D20240101T000000_IFCB900",
+            bin_tree / "y" / "D20240103T000000_IFCB900"))
+        out = str(tmp_path / "out")
+        do_run(run_args(str(lst), ckpt, out))
+        done = sorted(os.listdir(out))
+        assert done == ["D20240101T000000_IFCB900.json",
+                        "D20240103T000000_IFCB900.json"]
+
+    def test_single_bin(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree / "y" / "D20240103T000000_IFCB900.adc"),
+                        ckpt, out))
+        assert os.listdir(out) == ["D20240103T000000_IFCB900.json"]
+
+    def test_filter_out(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out,
+                        filter=["OUT", "D20240102"]))
+        assert sorted(os.listdir(out)) == ["D20240101T000000_IFCB900.json",
+                                           "D20240103T000000_IFCB900.json"]
+
+    def test_filter_in_from_keyword_file(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        kws = tmp_path / "k.txt"
+        kws.write_text("D20240102\n")
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out, filter=["IN", str(kws)]))
+        assert os.listdir(out) == ["D20240102T000000_IFCB900.json"]
+
+    def test_skip_existing_unless_clobber(self, ckpt, bin_tree, tmp_path,
+                                          capsys):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out))
+        stamps = {f: os.path.getmtime(os.path.join(out, f))
+                  for f in os.listdir(out)}
+        do_run(run_args(str(bin_tree), ckpt, out))
+        assert "already exist - skipping" in capsys.readouterr().out
+        for f, t in stamps.items():
+            assert os.path.getmtime(os.path.join(out, f)) == t
+        do_run(run_args(str(bin_tree), ckpt, out, clobber=True))
+        assert any(os.path.getmtime(os.path.join(out, f)) > t
+                   for f, t in stamps.items())
+
+    def test_namespace_subdirs_pattern(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out,
+                        outfile=["{INPUT_SUBDIRS}/{BIN_ID}.json"]))
+        assert os.path.isfile(os.path.join(
+            out, "x", "D20240101T000000_IFCB900.json"))
+        assert os.path.isfile(os.path.join(
+            out, "y", "D20240103T000000_IFCB900.json"))
+
+
+class TestEpochPattern:
+    def test_results_epoch_pattern(self, tmp_path):
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            from test_train_loop import make_args
+            from ifcb_classifier_tpu.train.loop import do_training
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 6, "b": 6}, size=(20, 20))
+            args = make_args(src, str(tmp_path / "out"), emax=2, seed=9,
+                             result_files=[["res_e{epoch}.json",
+                                            "output_scores"]])
+            do_training(args)
+            written = [f for f in os.listdir(tmp_path / "out")
+                       if f.startswith("res_e")]
+            assert written  # at least the first best epoch
+            with open(tmp_path / "out" / sorted(written)[0]) as f:
+                assert "output_scores" in json.load(f)
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)

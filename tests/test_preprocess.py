@@ -121,3 +121,21 @@ class TestBalancedSampling:
                             seed=3, rgb=False)
         got = sorted(next(iter(loader))["labels"].tolist())
         assert got == sorted(labels)  # permutation, no replacement
+
+
+class TestResizeWeightProperties:
+    """Properties PIL parity rests on: rows are a convex combination over
+    in-bounds source pixels, for every (src, canvas, out) configuration."""
+
+    @pytest.mark.parametrize("src,canvas,out", [
+        (1, 64, 224), (3, 64, 32), (63, 64, 299), (64, 64, 8),
+        (40, 128, 224), (128, 128, 128), (100, 1024, 17)])
+    def test_rows_convex_and_bounded(self, src, canvas, out):
+        from ifcb_classifier_tpu.ops.preprocess import resize_weights
+        import numpy as np
+        w = np.asarray(resize_weights(src, canvas, out))
+        assert w.shape == (out, canvas)
+        assert (w >= 0).all()
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+        if src < canvas:
+            assert np.abs(w[:, src:]).max() == 0.0  # padding never leaks

@@ -185,6 +185,16 @@ class InceptionV3(nn.Module):
 
         aux = None
         if self.aux_logits and train:
+            # the aux tower (avgpool5/3 → conv5 VALID) only has positive
+            # spatial extent when Mixed_6e is ≥17×17, i.e. input ≥299×299 —
+            # smaller inputs silently reduce over zero elements (NaN). The
+            # reference's input-size rule pins inception to 299
+            # (neuston_data.py:344); enforce it loudly.
+            if x.shape[1] < 17 or x.shape[2] < 17:
+                raise ValueError(
+                    "inception_v3 training with aux head requires 299x299 "
+                    f"inputs (Mixed_6e got {x.shape[1]}x{x.shape[2]}, "
+                    "needs >=17x17)")
             aux = InceptionAux(self.num_classes, d, name="AuxLogits")(x, train)
 
         x = InceptionD(d, name="Mixed_7a")(x, train)

@@ -106,3 +106,25 @@ class TestForward:
                                    mutable=["batch_stats"]), v)
         logits = out[0] if isinstance(out, tuple) else out
         assert logits.shape == (2, 11)
+
+
+class TestInceptionSizeGuard:
+    def test_small_input_raises_clearly(self):
+        """Sub-299 training inputs would silently NaN through the aux tower
+        (zero-element reductions); must raise instead."""
+        model = get_namebrand_model("inception_v3", 3)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        with pytest.raises(ValueError, match="299x299"):
+            jax.eval_shape(lambda: model.init(
+                rngs, jnp.zeros((1, 128, 128, 3)), train=True))
+
+    def test_eval_small_input_ok(self):
+        """Eval (no aux) tolerates smaller inputs, like torchvision."""
+        model = get_namebrand_model("inception_v3", 3)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        v = jax.eval_shape(lambda: model.init(
+            rngs, jnp.zeros((1, 299, 299, 3)), train=True))
+        out = jax.eval_shape(
+            lambda vv: model.apply(vv, jnp.zeros((1, 139, 139, 3)),
+                                   train=False, mutable=["batch_stats"]), v)
+        assert out[0].shape == (1, 3)

@@ -18,13 +18,13 @@ import argparse
 from .utils.config import add_runtime_params, enable_compile_cache, proc_outdir
 
 
-def main(args):
+def main(args, engine=None):
     if args.cmd_mode == "TRAIN":
         from .train.loop import do_training
         do_training(args)
     else:  # RUN
         from .infer.runner import do_run
-        do_run(args)
+        do_run(args, engine=engine)
     print("\nDONE!")
 
 
@@ -192,12 +192,6 @@ def argparse_nn_run(run):
     run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
 
 
-def model_id_from_checkpoint(path):
-    from .train.checkpoint import load_checkpoint
-    _, _, hparams = load_checkpoint(path)
-    return hparams.get("model_id")
-
-
 def main_cli(argv=None):
     parser = argparse_nn()
     args = parser.parse_args(argv)
@@ -207,9 +201,14 @@ def main_cli(argv=None):
     from .parallel.distributed import initialize_from_env
     initialize_from_env()
     add_runtime_params(args)
-    mid = model_id_from_checkpoint(args.MODEL) if args.cmd_mode == "RUN" else None
-    proc_outdir(args, model_id_for_run=mid)
-    main(args)
+    engine = None
+    if args.cmd_mode == "RUN":
+        # build the engine once: it deserializes the checkpoint (weights +
+        # hparams) and supplies the {MODEL_ID} for --outdir templating
+        from .infer.runner import InferenceEngine
+        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
+    proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
+    main(args, engine=engine)
 
 
 if __name__ == "__main__":

@@ -191,8 +191,9 @@ def parse_filter(filter_arg):
     return mode, keywords
 
 
-def do_run(args):
-    engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
+def do_run(args, engine=None):
+    if engine is None:
+        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
     import random as _random
     _random.seed(engine.seed)
 
@@ -214,8 +215,11 @@ def do_run(args):
             dd = DataDirectory(args.SRC, whitelist=wl, blacklist=bl)
         elif os.path.isfile(args.SRC) and args.SRC.endswith(".txt"):
             with open(args.SRC) as f:
-                bins = f.read().splitlines()
-            parent = os.path.commonpath(bins)
+                bins = [b.strip() for b in f.read().splitlines() if b.strip()]
+            assert bins, "bin list is empty"
+            # commonpath of a single entry is the entry itself — use its dir
+            parent = (os.path.dirname(bins[0]) if len(bins) == 1
+                      else os.path.commonpath(bins))
             dd = DataDirectory(parent, whitelist=[os.path.basename(b)
                                                   for b in bins])
         else:  # single bin

@@ -38,8 +38,45 @@ def _load_state_dict(path: str) -> dict:
             for k, v in sd.items()}
 
 
+def _efficientnet_torch_key(path: list[str], leaf_name: str) -> str:
+    """torchvision EfficientNet-v1 layout: features.0 stem, features.{s+1}.{i}
+    MBConv ('block.N' sub-modules whose numbering shifts when expand_ratio==1,
+    i.e. stage 0), features.8 head, classifier.1 Linear. SE convs are fc1/fc2.
+    """
+    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}
+    leaf = leaf_map[leaf_name]
+    mod = path[0]
+    if mod == "stem_conv":
+        return f"features.0.0.{leaf}"
+    if mod == "stem_bn":
+        return f"features.0.1.{leaf}"
+    if mod == "head_conv":
+        return f"features.8.0.{leaf}"
+    if mod == "head_bn":
+        return f"features.8.1.{leaf}"
+    if mod == "classifier":
+        return f"classifier.1.{leaf}"
+    # block{s}_{i} . {expand_conv|expand_bn|dw_conv|dw_bn|se_reduce|
+    #                 se_expand|project_conv|project_bn} . (conv|bn)
+    stage, idx = mod[len("block"):].split("_")
+    s = int(stage)
+    has_expand = s > 0  # stage 0 is the expand_ratio==1 stage
+    off = 1 if has_expand else 0
+    sub = path[1]
+    table = {
+        "expand_conv": "block.0.0", "expand_bn": "block.0.1",
+        "dw_conv": f"block.{off}.0", "dw_bn": f"block.{off}.1",
+        "se_reduce": f"block.{off + 1}.fc1", "se_expand": f"block.{off + 1}.fc2",
+        "project_conv": f"block.{off + 2}.0", "project_bn": f"block.{off + 2}.1",
+    }
+    return f"features.{s + 1}.{idx}.{table[sub]}.{leaf}"
+
+
 def _flax_path_to_torch_key(family: str, path: list[str], leaf_name: str) -> str:
     """Map one of OUR param tree paths to the torchvision state_dict key."""
+    if family.startswith("efficientnet"):
+        return _efficientnet_torch_key(path, leaf_name)
     parts = list(path)
 
     # module-name translations per family
@@ -71,8 +108,6 @@ def _flax_path_to_torch_key(family: str, path: list[str], leaf_name: str) -> str
         if family == "inception_v3":
             # branch3x3dbl_1 etc. keep their torch names verbatim
             return p
-        if family.startswith("efficientnet"):
-            return p  # handled by dedicated mapper below
         return p
 
     parts = [tr(p) for p in parts]
@@ -120,9 +155,22 @@ def port_state_dict(family: str, state_dict: dict, params, batch_stats,
     missing, ported = [], []
 
     def is_head(key: str) -> bool:
-        return (key.startswith(("fc.", "classifier.")) or ".fc." in key
-                or key.startswith("classifier_")
-                or key == "fc.weight" or key == "fc.bias")
+        """ONLY the classifier layer the reference re-sizes, per family
+        (neuston_models.py:24-42). The hidden vgg/alexnet classifier Linears
+        (classifier.1/.4 resp. .0/.3) ARE pretrained trunk and must port;
+        squeezenet's classifier.1 conversely IS the head conv."""
+        if family == "inception_v3":
+            return key.startswith(("fc.", "AuxLogits.fc."))
+        if family.startswith("resnet"):
+            return key.startswith("fc.")
+        if family == "squeezenet":
+            return key.startswith("classifier.1.")
+        if family == "alexnet" or family.startswith("vgg"):
+            return key.startswith("classifier.6.")
+        if family.startswith("efficientnet"):
+            return key.startswith("classifier.1.")
+        # densenet: bare final Linear
+        return key in ("classifier.weight", "classifier.bias")
 
     def fill(tree, collection):
         flat, treedef = jax.tree_util.tree_flatten_with_path(tree)

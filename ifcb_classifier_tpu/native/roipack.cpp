@@ -12,6 +12,7 @@
 // Exposed as plain C symbols; loaded via ctypes (no pybind11 in this image).
 // Build: g++ -O3 -march=native -shared -fPIC -o libroipack.so roipack.cpp -lpthread
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -34,12 +35,13 @@ int roipack_pack(const uint8_t* roi, int64_t roi_len,
     std::memset(canvas, 0, (size_t)batch * S * S);
     for (int32_t b = 0; b < batch; b++) { sizes[2 * b] = 1; sizes[2 * b + 1] = 1; }
 
-    int bad = 0;
+    std::atomic<int> bad{0};  // written from worker threads
     auto work = [&](int32_t lo, int32_t hi) {
         for (int32_t i = lo; i < hi; i++) {
             int64_t h = hs[i], w = ws[i], s0 = start[i];
             if (h <= 0 || w <= 0 || s0 < 0 || s0 + h * w > roi_len) {
-                sizes[2 * i] = 0; sizes[2 * i + 1] = 0; bad = 1; continue;
+                sizes[2 * i] = 0; sizes[2 * i + 1] = 0;
+                bad.store(1, std::memory_order_relaxed); continue;
             }
             int64_t ch = std::min<int64_t>(h, S);
             int64_t cw = std::min<int64_t>(w, S);

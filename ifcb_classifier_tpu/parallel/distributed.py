@@ -39,9 +39,8 @@ def initialize_from_env(coordinator_port: int = 9377) -> bool:
     # SLURM multi-task
     ntasks = int(os.environ.get("SLURM_NTASKS", "1"))
     if ntasks > 1:
-        nodelist = os.environ.get("SLURM_JOB_NODELIST", "")
         coordinator = os.environ.get("IFCBNN_COORDINATOR") or \
-            nodelist.split(",")[0].split("[")[0]
+            _slurm_first_host(os.environ.get("SLURM_JOB_NODELIST", ""))
         jax.distributed.initialize(
             coordinator_address=f"{coordinator}:{coordinator_port}",
             num_processes=ntasks,
@@ -50,13 +49,47 @@ def initialize_from_env(coordinator_port: int = 9377) -> bool:
     return False
 
 
+def _slurm_first_host(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist. Compressed ranges like
+    'node[001-004]' must be expanded (the bare prefix 'node' resolves to
+    nothing); `scontrol show hostnames` is SLURM's own expander."""
+    import subprocess
+    try:
+        out = subprocess.run(["scontrol", "show", "hostnames", nodelist],
+                             capture_output=True, text=True, timeout=10)
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.split()[0]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    # fallback: expand 'prefix[a-b,...]' manually for the first entry
+    head = nodelist.split(",")[0]
+    if "[" in head:
+        prefix, rng = head.split("[", 1)
+        first = rng.rstrip("]").split(",")[0].split("-")[0]
+        return prefix + first
+    return head
+
+
 def shard_manifest(items, labels=None):
-    """Per-host slice of a dataset manifest: host i takes items[i::P].
-    Keeps per-class balance statistically; deterministic across hosts."""
+    """Per-host slice of a dataset manifest: host i takes items[i::P],
+    padded so EVERY host gets exactly ceil(N/P) items (short hosts repeat
+    their own first item). Equal lengths are load-bearing: every host must
+    execute the same number of collective train/eval steps (unequal counts
+    deadlock SPMD) and allgathered metadata must be identically shaped.
+    Deterministic across hosts."""
     import jax
     p, n = jax.process_index(), jax.process_count()
     if n == 1:
         return items, labels
+    per_host = -(-len(items) // n)
     items_s = list(items)[p::n]
     labels_s = list(labels)[p::n] if labels is not None else None
+    if not items_s:  # more hosts than items: borrow globally
+        items_s = [list(items)[0]]
+        if labels_s is not None:
+            labels_s = [list(labels)[0]]
+    while len(items_s) < per_host:
+        items_s.append(items_s[0])
+        if labels_s is not None:
+            labels_s.append(labels_s[0])
     return items_s, labels_s

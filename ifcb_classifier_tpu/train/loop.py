@@ -243,7 +243,9 @@ def do_training(args):
         train_loader._epoch = start_epoch
         print(f"Resumed from {last_state_path} at epoch {start_epoch}")
 
-    def run_validation(state):
+    val_rng = jax.random.PRNGKey((args.seed ^ 0x5EED) & 0x7FFFFFFF)
+
+    def run_validation(state, epoch=0):
         """Returns (val_loss_sum, probs, input_classes, input_srcs).
 
         Multi-host (n_proc>1): each host streams its manifest slice; probs
@@ -256,8 +258,11 @@ def do_training(args):
         """
         losses, probs_l, ns, classes_l, srcs = [], [], [], [], []
         gathered_idx = []
-        for b in prefetch(iter(val_loader)):
-            rng_b = jax.random.PRNGKey(0)
+        for bi, b in enumerate(prefetch(iter(val_loader))):
+            # fresh key per batch AND epoch: with --flip ...+V the reference
+            # re-samples val flips per image per pass (neuston_data.py:356-364);
+            # a constant key would freeze flip decisions by batch-row position
+            rng_b = jax.random.fold_in(val_rng, epoch * 100003 + bi)
             images = pp_val(b["canvas"], b["sizes"], rng_b)
             loss, probs = eval_step(state, put_batch(dict(
                 images=images, labels=jnp.asarray(b["labels"]),
@@ -339,7 +344,8 @@ def do_training(args):
         train_time = time.time() - t0
 
         # --- validate (epoch-level sum of batch means, neuston_models.py:109) ---
-        val_loss, outputs, input_classes, input_srcs = run_validation(state)
+        val_loss, outputs, input_classes, input_srcs = run_validation(state,
+                                                                      epoch)
         output_classes = np.argmax(outputs, axis=1)
 
         from sklearn import metrics as _m

@@ -32,7 +32,8 @@ class TestResume:
 class TestTorchPort:
     @pytest.mark.parametrize("family,size", [
         ("resnet18", 64), ("densenet121", 64), ("alexnet", 224),
-        ("vgg11", 224), ("squeezenet", 224), ("inception_v3", 299)])
+        ("vgg11", 224), ("squeezenet", 224), ("inception_v3", 299),
+        ("efficientnet_b0", 224)])
     def test_roundtrip_through_torch_keys(self, family, size, tmp_path):
         """export_state_dict -> .npz -> load_torch_weights must reproduce the
         original trees exactly (validates key mapping + layout transposes
@@ -123,3 +124,66 @@ class TestExport:
         direct = np.asarray(predict(state.params, state.batch_stats, x))
         order = np.argsort(paths)
         np.testing.assert_allclose(scores[order], direct, atol=1e-4)
+
+
+class TestHeadDetection:
+    def test_vgg_hidden_classifier_layers_port(self):
+        """vgg/alexnet classifier.0/.3 (hidden Linears) are pretrained trunk
+        and MUST port; only classifier.6 is the re-sized head
+        (neuston_models.py:34-36)."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_port import (
+            export_state_dict, port_state_dict)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        m1000 = get_namebrand_model("vgg11", 1000, dtype=jnp.float32)
+        s1000, _ = create_train_state(m1000, jax.random.PRNGKey(1), 224)
+        sd = export_state_dict("vgg11", s1000.params, s1000.batch_stats)
+        assert "classifier.0.weight" in sd and "classifier.6.weight" in sd
+
+        m5 = get_namebrand_model("vgg11", 5, dtype=jnp.float32)
+        s5, _ = create_train_state(m5, jax.random.PRNGKey(2), 224)
+        new_params, _ = port_state_dict("vgg11", sd, s5.params,
+                                        s5.batch_stats, skip_head=True)
+        np.testing.assert_array_equal(  # hidden layer ported
+            np.asarray(new_params["classifier_0"]["kernel"]),
+            np.asarray(s1000.params["classifier_0"]["kernel"]))
+        np.testing.assert_array_equal(  # head untouched
+            np.asarray(new_params["classifier_6"]["kernel"]),
+            np.asarray(s5.params["classifier_6"]["kernel"]))
+
+    def test_efficientnet_torchvision_key_shapes(self):
+        """Exported efficientnet keys follow torchvision's features.N layout."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_port import export_state_dict
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        m = get_namebrand_model("efficientnet_b0", 7, dtype=jnp.float32)
+        s, _ = create_train_state(m, jax.random.PRNGKey(0), 64)
+        sd = export_state_dict("efficientnet_b0", s.params, s.batch_stats)
+        assert "features.0.0.weight" in sd          # stem conv
+        assert "features.1.0.block.0.0.weight" in sd  # stage0 dwconv (no expand)
+        assert "features.2.0.block.0.0.weight" in sd  # stage1 expand conv
+        assert "features.2.0.block.2.fc1.weight" in sd  # SE
+        assert "features.8.0.weight" in sd          # head conv
+        assert "classifier.1.weight" in sd
+
+
+class TestShardManifest:
+    def test_equal_lengths_across_hosts(self, monkeypatch):
+        import jax
+        from ifcb_classifier_tpu.parallel import distributed
+        items = [f"i{k}" for k in range(13)]
+        labels = list(range(13))
+        lens = []
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        for p in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            it, lb = distributed.shard_manifest(items, labels)
+            assert len(it) == len(lb) == 4  # ceil(13/4), padded
+            lens.append(len(it))
+        assert len(set(lens)) == 1

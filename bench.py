@@ -27,8 +27,7 @@ def bench_infer():
     from ifcb_classifier_tpu import native
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
-    from ifcb_classifier_tpu.train.state import (create_train_state,
-                                                 make_predict_step)
+    from ifcb_classifier_tpu.train.state import make_predict_step
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
 
     enable_compile_cache()
@@ -36,13 +35,19 @@ def bench_infer():
     S = 128  # typical ROI ladder bucket
 
     model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16)
-    state, _ = create_train_state(model, jax.random.PRNGKey(0), 299)
+    variables = model.init(  # no optimizer state needed for inference
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 299, 299, 3), jnp.float32), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
     predict = make_predict_step(model)
 
     @jax.jit
-    def run_batch(params, stats, canvas, sizes):
+    def run_batch(params, stats, canvas, sizes, acc):
         x = preprocess_batch(canvas, sizes, out_size=299, dtype=jnp.float32)
-        return predict(params, stats, x)
+        probs = predict(params, stats, x)
+        # acc threads a data dependency across batches so the final fetch
+        # proves every batch completed (CLAUDE.md benchmarking rule)
+        return probs, acc + jnp.sum(probs)
 
     # synthetic .roi buffer: 4096 ROIs of plausible sizes
     rng = np.random.RandomState(0)
@@ -59,19 +64,21 @@ def bench_infer():
     # warm
     canvas, sizes = native.pack_rois_native(roi_buf, starts[:B], hs[:B],
                                             ws[:B], B, S)
-    probs = run_batch(state.params, state.batch_stats, canvas, sizes)
-    _ = np.asarray(probs).sum()
+    acc = jnp.zeros((), jnp.float32)
+    probs, acc = run_batch(params, batch_stats, canvas, sizes, acc)
+    _ = float(acc)
 
     t0 = time.perf_counter()
     done = 0
+    acc = jnp.zeros((), jnp.float32)
     for c0 in range(0, n_rois, B):
         sel = slice(c0, min(c0 + B, n_rois))
         n = sel.stop - sel.start
         canvas, sizes = native.pack_rois_native(
             roi_buf, starts[sel], hs[sel], ws[sel], B, S)
-        probs = run_batch(state.params, state.batch_stats, canvas, sizes)
+        probs, acc = run_batch(params, batch_stats, canvas, sizes, acc)
         done += n
-    _ = float(np.asarray(probs).sum())
+    _ = float(acc)  # forces the whole dependency chain
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",

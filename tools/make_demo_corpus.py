@@ -13,11 +13,8 @@ a model genuinely learns — handy for smoke-testing accuracy plumbing.
 
 import argparse
 import os
-import sys
 
 import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ADC_V2_COLS = 24
 ADC_V1_COLS = 18
@@ -54,12 +51,24 @@ def write_training(root, rng, per_class=60):
                 os.path.join(d, f"{kind}_{i:03d}.png"))
 
 
+def _write_fileset(base, rows, blobdata):
+    with open(base + ".adc", "w") as f:
+        f.write("\n".join(rows) + "\n")
+    with open(base + ".roi", "wb") as f:
+        f.write(bytes(blobdata))
+    with open(base + ".hdr", "w") as f:
+        f.write("softwareVersion: demo\n")
+
+
 def write_bins(root, rng, n_bins=4, rois_per_bin=120):
     os.makedirs(root, exist_ok=True)
     kinds = ("round", "elongated", "spiky")
     for b in range(n_bins):
-        pid = f"D202407{b + 1:02d}T120000_IFCB777"
-        rois, rows, blobdata = [], [], bytearray()
+        # valid calendar date for any bin count (day 1-28, month rolls over)
+        day = b % 28 + 1
+        month = (b // 28) % 12 + 1
+        pid = f"D2024{month:02d}{day:02d}T120000_IFCB777"
+        rows, blobdata = [], bytearray()
         for t in range(rois_per_bin):
             h = int(rng.integers(24, 100))
             w = int(rng.integers(24, 100))
@@ -69,13 +78,27 @@ def write_bins(root, rng, n_bins=4, rois_per_bin=120):
             row[15], row[16], row[17] = str(w), str(h), str(len(blobdata))
             rows.append(",".join(row))
             blobdata.extend(img.tobytes())
-        base = os.path.join(root, pid)
-        with open(base + ".adc", "w") as f:
-            f.write("\n".join(rows) + "\n")
-        with open(base + ".roi", "wb") as f:
-            f.write(bytes(blobdata))
-        with open(base + ".hdr", "w") as f:
-            f.write("softwareVersion: demo\n")
+        _write_fileset(os.path.join(root, pid), rows, blobdata)
+
+    # one old-format (schema v1) bin with multi-ROI triggers, so the
+    # stitching path gets demo coverage too
+    rows, blobdata = [], bytearray()
+    for t in range(rois_per_bin // 4):
+        trigger = t + 1
+        x_off = 0
+        for part in range(2):  # two ROIs per trigger -> stitched frame
+            h, w = 40, 30
+            img = blob(rng, kinds[t % 3], h, w)
+            row = ["0"] * ADC_V1_COLS
+            row[0] = str(trigger)
+            row[9], row[10] = str(x_off), "0"           # roiX, roiY
+            row[11], row[12] = str(w), str(h)           # roiWidth, roiHeight
+            row[13] = str(len(blobdata))                # startByte
+            rows.append(",".join(row))
+            blobdata.extend(img.tobytes())
+            x_off += w
+    _write_fileset(os.path.join(root, "IFCB7_2024_001_120000"),
+                   rows, blobdata)
 
 
 def main():

@@ -139,3 +139,17 @@ class TestResizeWeightProperties:
         np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
         if src < canvas:
             assert np.abs(w[:, src:]).max() == 0.0  # padding never leaks
+
+
+class TestPrefetch:
+    def test_error_propagates_to_consumer(self):
+        def gen():
+            yield 1
+            raise RuntimeError("decode exploded")
+        it = prefetch(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="decode exploded"):
+            list(it)
+
+    def test_order_preserved(self):
+        assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))

@@ -129,10 +129,23 @@ def parse_adc(adc_path: str, schema_version: int):
     as int64 arrays (one entry per row == per target, 1-based target numbers
     are row positions). Tolerates trailing blank lines and float-formatted
     numerics (instruments emit e.g. '1.000000e+00').
+
+    Fast path: pandas' C csv engine reading only the 6 wanted columns
+    (deployment runs parse thousands of multi-thousand-row tables; the
+    Python-loop fallback covers exotic malformed files).
     """
     columns = ADC_COLUMNS_V1 if schema_version == SCHEMA_VERSION_1 else ADC_COLUMNS_V2
     want = ["trigger", "roiX", "roiY", "roiWidth", "roiHeight", "startByte"]
     idx = {name: columns.index(name) for name in want}
+    try:
+        import pandas as pd
+        usecols = sorted(idx.values())
+        df = pd.read_csv(adc_path, header=None, usecols=usecols,
+                         skip_blank_lines=True, dtype=np.float64)
+        return {name: df[idx[name]].to_numpy().astype(np.int64)
+                for name in want}
+    except Exception:
+        pass  # malformed for the C parser — fall through to tolerant loop
     out = {name: [] for name in want}
     with open(adc_path, "r") as f:
         for line in f:

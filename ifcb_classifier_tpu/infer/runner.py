@@ -165,15 +165,17 @@ class InferenceEngine:
 
     def predict_loader(self, loader):
         """Stream a HostLoader (image paths) through the engine; returns
-        (probs [N,C], paths in traversal order)."""
-        probs_l, paths = [], []
+        (probs [N,C], paths in traversal order). Async dispatch, one fetch."""
+        pending, ns, paths = [], [], []
         for b in prefetch(iter(loader)):
-            probs = self._run_batch(self.params, self.batch_stats,
-                                    b["canvas"], b["sizes"])
+            pending.append(self._run_batch(self.params, self.batch_stats,
+                                           b["canvas"], b["sizes"]))
             n = int(b["mask"].sum())
-            probs_l.append(np.asarray(probs)[:n])
+            ns.append(n)
             paths.extend(loader.items[i] for i in b["indices"][:n])
-        return np.concatenate(probs_l, axis=0), paths
+        fetched = jax.device_get(pending)
+        return (np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0),
+                paths)
 
 
 def parse_filter(filter_arg):

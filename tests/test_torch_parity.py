@@ -67,3 +67,35 @@ class TestResNetParity:
         torch.manual_seed(1)
         _port_and_compare(ResNet18(num_classes=5), "resnet18", 5,
                           224, atol=2e-4)
+
+
+class TestMiscParity:
+    def test_alexnet_logits_match(self):
+        """CHW-vs-HWC flatten order into classifier.1 is the landmine here."""
+        from torch_misc_tv import AlexNet
+        import torch
+        torch.manual_seed(2)
+        _port_and_compare(AlexNet(5), "alexnet", 5, 224, atol=2e-4)
+
+    def test_densenet121_logits_match(self):
+        """Dense concat ordering + transition pooling."""
+        from torch_misc_tv import DenseNet121
+        import torch
+        torch.manual_seed(3)
+        _port_and_compare(DenseNet121(5), "densenet121", 5, 224, atol=2e-4)
+
+    def test_squeezenet_logits_match(self):
+        """ceil_mode max pooling + conv classifier head."""
+        from torch_misc_tv import SqueezeNet11
+        import torch
+        torch.manual_seed(4)
+        _port_and_compare(SqueezeNet11(5), "squeezenet", 5, 224, atol=2e-4)
+
+    def test_efficientnet_b0_logits_match(self):
+        """SE blocks, SiLU, depthwise convs, BN eps=1e-3, and the
+        features.N.M.block key mapper."""
+        from torch_misc_tv import EfficientNetB0
+        import torch
+        torch.manual_seed(5)
+        _port_and_compare(EfficientNetB0(5), "efficientnet_b0", 5, 224,
+                          atol=5e-4)

@@ -99,3 +99,10 @@ class TestMiscParity:
         torch.manual_seed(5)
         _port_and_compare(EfficientNetB0(5), "efficientnet_b0", 5, 224,
                           atol=5e-4)
+
+    def test_vgg11_logits_match(self):
+        """Deep conv stack + the 512*49 flatten into classifier.0."""
+        from torch_misc_tv import VGG11
+        import torch
+        torch.manual_seed(6)
+        _port_and_compare(VGG11(5), "vgg11", 5, 224, atol=5e-4)

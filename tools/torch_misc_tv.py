@@ -182,3 +182,27 @@ class EfficientNetB0(nn.Module):
         x = self.features(x)
         x = F.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.classifier(x)
+
+
+class VGG11(nn.Module):
+    def __init__(self, num_classes=5):
+        super().__init__()
+        layers, in_ch = [], 3
+        for v in (64, "M", 128, "M", 256, 256, "M", 512, 512, "M",
+                  512, 512, "M"):
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(in_ch, v, 3, padding=1),
+                           nn.ReLU(inplace=True)]
+                in_ch = v
+        self.features = nn.Sequential(*layers)
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 49, 4096), nn.ReLU(inplace=True), nn.Dropout(),
+            nn.Linear(4096, 4096), nn.ReLU(inplace=True), nn.Dropout(),
+            nn.Linear(4096, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = F.adaptive_avg_pool2d(x, 7).flatten(1)
+        return self.classifier(x)

@@ -92,9 +92,14 @@ class HostLoader:
     """
 
     def __init__(self, items, labels=None, batch_size=108, num_workers=4,
-                 shuffle=False, seed=0, rgb=True, balanced=False):
+                 shuffle=False, seed=0, rgb=True, balanced=False,
+                 n_real=None):
         self.items = list(items)
         self.labels = list(labels) if labels is not None else None
+        # items[n_real:] are multi-host manifest pads (shard_manifest):
+        # decoded and fed to the model (step-count equality; BatchNorm sees
+        # real pixels) but masked out of loss/metrics like batch pads.
+        self.n_real = len(self.items) if n_real is None else int(n_real)
         self.batch_size = int(batch_size)
         self.num_workers = max(1, int(num_workers))
         self.shuffle = shuffle
@@ -146,33 +151,52 @@ class HostLoader:
                 if self.labels is not None:
                     labels[:n] = [self.labels[i] for i in idx]
                 mask = np.zeros(B, dtype=bool)
-                mask[:n] = True
+                mask[:n] = idx < self.n_real
                 yield dict(canvas=canvas, sizes=sizes, labels=labels,
                            mask=mask, indices=idx)
 
 
 def prefetch(iterable, depth: int = 2):
     """Run `iterable` in a background thread, keeping `depth` items ready —
-    overlaps host decode/pack with device compute."""
+    overlaps host decode/pack with device compute.
+
+    The producer checks a stop event around every blocking put, so if the
+    consumer abandons the generator early (exception in the loop body,
+    break, GC) the thread exits instead of blocking on a full queue forever
+    and leaking decoded canvas batches in a long-lived process."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     err = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surfaced in consumer
             err.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -232,11 +232,11 @@ def do_run(args, engine=None):
         # multi-host fleet: each process takes every P-th bin — the job-level
         # fan-out the reference delegated to SLURM submission
         # (neuston_sbatch.py), here built in (SURVEY.md §2.3 comm backend row)
-        proc_idx, proc_cnt = 0, 1
-        try:
-            proc_idx, proc_cnt = jax.process_index(), jax.process_count()
-        except Exception:
-            pass
+        # No exception guard here: a failed process_index/count would mean a
+        # half-initialized jax.distributed, and silently degrading to
+        # proc_cnt=1 would make EVERY host classify EVERY bin (duplicate
+        # outputs) — fail loudly instead.
+        proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
         error_bins = []
         n_done = 0

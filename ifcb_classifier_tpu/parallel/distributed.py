@@ -76,15 +76,22 @@ def shard_manifest(items, labels=None):
     their own first item). Equal lengths are load-bearing: every host must
     execute the same number of collective train/eval steps (unequal counts
     deadlock SPMD) and allgathered metadata must be identically shaped.
-    Deterministic across hosts."""
+    Deterministic across hosts.
+
+    Returns (items, labels, n_real): entries at index >= n_real are PADS —
+    repeats appended only for step-count equality. Consumers must exclude
+    them from loss/metrics (HostLoader's n_real mask) or every host-count
+    boundary would double-count a sample and `p + local_index*P` would
+    index past the global manifest during gather reconstruction."""
     import jax
     p, n = jax.process_index(), jax.process_count()
     if n == 1:
-        return items, labels
+        return items, labels, len(items)
     per_host = -(-len(items) // n)
     items_s = list(items)[p::n]
     labels_s = list(labels)[p::n] if labels is not None else None
-    if not items_s:  # more hosts than items: borrow globally
+    n_real = len(items_s)
+    if not items_s:  # more hosts than items: borrow globally (all pads)
         items_s = [list(items)[0]]
         if labels_s is not None:
             labels_s = [list(labels)[0]]
@@ -92,4 +99,43 @@ def shard_manifest(items, labels=None):
         items_s.append(items_s[0])
         if labels_s is not None:
             labels_s.append(labels_s[0])
-    return items_s, labels_s
+    return items_s, labels_s, n_real
+
+
+def reconstruct_global_rows(probs_batches, ns, idx, n_proc, batch_local,
+                            n_items):
+    """Inverse of shard_manifest for allgathered validation outputs: reorder
+    per-host rows back to global-manifest indices.
+
+    probs_batches: sequence of [n_proc*batch_local, C] arrays, one per local
+                   batch step (probs replicated across hosts; host p's rows
+                   occupy [p*batch_local, (p+1)*batch_local))
+    ns:  [P, n_batches] int — real (mask=True) row count per host per batch
+    idx: [P, n_batches, batch_local] int — local manifest indices, -1 padded
+    n_items: global manifest length
+
+    Host p's local item li is global item p + li*n_proc (shard_manifest
+    strides items[p::P]). Rows with li < 0 or a global index past n_items
+    (manifest pads — already excluded from ns by the loader mask, kept here
+    as defense in depth) are dropped. Returns (probs [N, C], global_indices
+    list[int]); pure numpy, unit-testable without jax.distributed."""
+    import numpy as np
+    all_probs, glob_idx = [], []
+    n_classes = np.asarray(probs_batches[0]).shape[-1] if probs_batches else 0
+    for bi, probs in enumerate(probs_batches):
+        probs = np.asarray(probs)
+        for p in range(n_proc):
+            if bi >= len(ns[p]):
+                continue
+            n_p = int(ns[p][bi])
+            rows = probs[p * batch_local: p * batch_local + n_p]
+            loc = idx[p][bi][:n_p]
+            keep = [k for k, li in enumerate(loc)
+                    if int(li) >= 0 and p + int(li) * n_proc < n_items]
+            if not keep:
+                continue
+            all_probs.append(rows[keep])
+            glob_idx.extend(p + int(loc[k]) * n_proc for k in keep)
+    if not all_probs:
+        return np.zeros((0, n_classes), np.float32), []
+    return np.concatenate(all_probs, axis=0), glob_idx

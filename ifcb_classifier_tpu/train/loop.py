@@ -122,20 +122,23 @@ def do_training(args):
     n_proc = jax.process_count()
     tr_items, tr_labels = training_dataset.images, training_dataset.targets
     va_items, va_labels = validation_dataset.images, validation_dataset.targets
+    tr_real, va_real = len(tr_items), len(va_items)
     local_batch = args.batch_size
     if n_proc > 1:
         from ..parallel.distributed import shard_manifest
-        tr_items, tr_labels = shard_manifest(tr_items, tr_labels)
-        va_items, va_labels = shard_manifest(va_items, va_labels)
+        tr_items, tr_labels, tr_real = shard_manifest(tr_items, tr_labels)
+        va_items, va_labels, va_real = shard_manifest(va_items, va_labels)
         local_batch = -(-args.batch_size // n_proc)
     train_loader = HostLoader(tr_items, tr_labels,
                               batch_size=local_batch,
                               num_workers=args.loaders, shuffle=True,
                               seed=args.seed + jax.process_index(),
-                              balanced=getattr(args, "balanced", False))
+                              balanced=getattr(args, "balanced", False),
+                              n_real=tr_real)
     val_loader = HostLoader(va_items, va_labels,
                             batch_size=local_batch,
-                            num_workers=args.loaders, shuffle=False)
+                            num_workers=args.loaders, shuffle=False,
+                            n_real=va_real)
 
     # Model + state
     print(f"Initializing {args.MODEL} ({len(args.classes)} classes, "
@@ -239,7 +242,13 @@ def do_training(args):
         best_epoch = extra["best_epoch"]
         best_ckpt_path = extra.get("best_ckpt_path")
         epoch_csv.rows = extra.get("csv_rows", [])
-        rng = jax.random.PRNGKey(args.seed + start_epoch)
+        # restore the carried PRNG key so the resumed augmentation/dropout
+        # stream is identical to an uninterrupted run (older .state files
+        # without it fall back to a seed-derived key — documented deviation)
+        if "rng" in extra:
+            rng = jnp.asarray(extra["rng"], dtype=jnp.uint32)
+        else:
+            rng = jax.random.PRNGKey(args.seed + start_epoch)
         train_loader._epoch = start_epoch
         print(f"Resumed from {last_state_path} at epoch {start_epoch}")
 
@@ -284,6 +293,8 @@ def do_training(args):
                     np.concatenate(probs_l), np.concatenate(classes_l), srcs)
 
         from jax.experimental import multihost_utils
+
+        from ..parallel.distributed import reconstruct_global_rows
         B_local = val_loader.batch_size
         # global probs per batch: [B_global, C]; this host's rows live at
         # [proc*B_local : proc*B_local+n]; other hosts' rows are recovered by
@@ -294,25 +305,14 @@ def do_training(args):
             idx=np.stack([np.pad(i, (0, B_local - len(i)), constant_values=-1)
                           for i in gathered_idx]))
         meta = multihost_utils.process_allgather(local_meta, tiled=False)
-        all_probs, all_classes, all_srcs = [], [], []
-        # reconstruct: global manifest item g belongs to host g%P at local
-        # row g//P (shard_manifest uses items[p::P])
         va_all = validation_dataset.images
         lab_all = validation_dataset.targets
-        for bi, probs in enumerate(probs_g):
-            for p in range(n_proc):
-                if bi >= len(meta["ns"][p]):
-                    continue
-                n_p = int(meta["ns"][p][bi])
-                rows = probs[p * B_local: p * B_local + n_p]
-                loc = meta["idx"][p][bi][:n_p]
-                glob = [p + int(li) * n_proc for li in loc]
-                all_probs.append(rows)
-                all_classes.extend(lab_all[g] for g in glob)
-                all_srcs.extend(va_all[g] for g in glob)
+        all_probs, glob_idx = reconstruct_global_rows(
+            probs_g, meta["ns"], meta["idx"], n_proc, B_local, len(va_all))
         losses = jax.device_get(losses)
-        return (float(np.sum(losses, dtype=np.float64)),
-                np.concatenate(all_probs), np.asarray(all_classes), all_srcs)
+        return (float(np.sum(losses, dtype=np.float64)), all_probs,
+                np.asarray([lab_all[g] for g in glob_idx]),
+                [va_all[g] for g in glob_idx])
 
     epoch = start_epoch
     step_count = 0
@@ -397,7 +397,8 @@ def do_training(args):
 
         save_train_state(last_state_path, state, dict(
             epoch=epoch, best_val_loss=best_val_loss, best_epoch=best_epoch,
-            best_ckpt_path=best_ckpt_path, csv_rows=epoch_csv.rows))
+            best_ckpt_path=best_ckpt_path, csv_rows=epoch_csv.rows,
+            rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
 
         # early stopping (EarlyStopping('val_loss', patience), neuston_net.py:58-59;
         # min_epochs gate neuston_net.py:103)

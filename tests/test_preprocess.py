@@ -90,6 +90,19 @@ class TestHostLoader:
         assert batches[0]["mask"].all()
         assert batches[1]["mask"].sum() == 1
 
+    def test_n_real_masks_manifest_pads(self):
+        """items[n_real:] are multi-host manifest pads: decoded and packed
+        (step-count equality, BN sees real pixels) but masked out of
+        loss/metrics exactly like batch pads."""
+        items = [make_roi(8, 8, s) for s in range(6)]
+        loader = HostLoader(items, labels=list(range(6)), batch_size=3,
+                            shuffle=False, rgb=False, n_real=4)
+        batches = list(loader)
+        assert batches[0]["mask"].tolist() == [True, True, True]
+        assert batches[1]["mask"].tolist() == [True, False, False]
+        # pads are real decoded images, not zeros
+        assert batches[1]["canvas"][1].any()
+
     def test_loader_shuffle_per_epoch(self):
         items = [make_roi(8, 8, s) for s in range(10)]
         loader = HostLoader(items, labels=list(range(10)), batch_size=10,
@@ -153,3 +166,29 @@ class TestPrefetch:
 
     def test_order_preserved(self):
         assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+    def test_abandoned_consumer_stops_producer(self):
+        """If the consumer stops iterating early the producer thread must
+        exit instead of blocking on a full queue forever (thread + decoded
+        batch leak per abandoned iterator in a long-lived process)."""
+        import time
+        produced = []
+
+        def gen():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 0
+        it.close()  # consumer abandons mid-stream (exception/break/GC)
+        deadline = time.time() + 5.0
+        last = -1
+        while time.time() < deadline:
+            cur = len(produced)
+            if cur == last:  # two consecutive polls unchanged → stopped
+                break
+            last = cur
+            time.sleep(0.25)
+        assert len(produced) == last and last < 100, \
+            f"producer still running ({len(produced)} items)"

@@ -28,6 +28,30 @@ class TestResume:
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
+    def test_resume_rng_stream_continuity(self, tmp_path):
+        """Train-4-straight must equal train-2 + resume-2 EXACTLY: the
+        carried augmentation/dropout PRNG key is persisted in last.state, so
+        a resumed run replays the uninterrupted stream (flips on to make the
+        stream observable in the losses)."""
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 8, "b": 8}, size=(20, 20))
+            out_a = str(tmp_path / "straight")
+            out_b = str(tmp_path / "resumed")
+            from ifcb_classifier_tpu.train.loop import do_training
+            do_training(make_args(src, out_a, emax=4, seed=7, flip="xy"))
+            do_training(make_args(src, out_b, emax=2, seed=7, flip="xy"))
+            do_training(make_args(src, out_b, emax=4, seed=7, flip="xy",
+                                  resume=True))
+            rows = {}
+            for tag, out in (("a", out_a), ("b", out_b)):
+                with open(os.path.join(out, "epochs.csv")) as f:
+                    rows[tag] = list(csv.DictReader(f))
+            assert rows["a"] == rows["b"]
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
 
 class TestTorchPort:
     @pytest.mark.parametrize("family,size", [
@@ -179,11 +203,74 @@ class TestShardManifest:
         from ifcb_classifier_tpu.parallel import distributed
         items = [f"i{k}" for k in range(13)]
         labels = list(range(13))
-        lens = []
+        lens, reals = [], []
         monkeypatch.setattr(jax, "process_count", lambda: 4)
         for p in range(4):
             monkeypatch.setattr(jax, "process_index", lambda p=p: p)
-            it, lb = distributed.shard_manifest(items, labels)
+            it, lb, n_real = distributed.shard_manifest(items, labels)
             assert len(it) == len(lb) == 4  # ceil(13/4), padded
             lens.append(len(it))
+            reals.append(n_real)
+            assert it[n_real:] == [it[0]] * (4 - n_real)  # pads repeat item 0
         assert len(set(lens)) == 1
+        assert reals == [4, 3, 3, 3]  # real counts sum to N, no double count
+        assert sum(reals) == 13
+
+    def test_real_items_partition_manifest(self, monkeypatch):
+        """Union of the REAL (unpadded) slices is exactly the manifest — each
+        item classified once across the fleet."""
+        import jax
+        from ifcb_classifier_tpu.parallel import distributed
+        items = [f"i{k}" for k in range(10)]
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        seen = []
+        for p in range(3):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            it, _, n_real = distributed.shard_manifest(items)
+            seen.extend(it[:n_real])
+        assert sorted(seen) == sorted(items)
+
+
+class TestReconstructGlobalRows:
+    def _make_case(self):
+        """N=10 items over P=4 hosts, B_local=2 → per_host=3, 2 local batches.
+        Hosts 2,3 carry one manifest pad each (masked → ns=0 in batch 1).
+        probs row for global item g is one-hot(g); pad rows are -1 garbage."""
+        import numpy as np
+        P, BL, N, C = 4, 2, 10, 10
+        n_real = [3, 3, 2, 2]
+        ns = np.array([[2, 1], [2, 1], [2, 0], [2, 0]], np.int32)
+        idx = np.full((P, 2, BL), -1, np.int32)
+        probs_batches = [np.full((P * BL, C), -1.0, np.float32)
+                         for _ in range(2)]
+        for p in range(P):
+            for bi in range(2):
+                for k in range(int(ns[p][bi])):
+                    li = bi * BL + k
+                    g = p + li * P
+                    idx[p, bi, k] = li
+                    probs_batches[bi][p * BL + k] = np.eye(C)[g]
+        return probs_batches, ns, idx, P, BL, N
+
+    def test_round_trip_with_pads(self):
+        import numpy as np
+        from ifcb_classifier_tpu.parallel.distributed import (
+            reconstruct_global_rows)
+        probs_batches, ns, idx, P, BL, N = self._make_case()
+        probs, glob = reconstruct_global_rows(probs_batches, ns, idx, P, BL, N)
+        assert sorted(glob) == list(range(N))
+        for row, g in zip(probs, glob):
+            np.testing.assert_array_equal(row, np.eye(N)[g])
+
+    def test_defensive_drop_of_out_of_range(self):
+        """Even if a ns miscount lets a pad row through (li maps past the
+        manifest), reconstruction drops it instead of raising IndexError —
+        the ADVICE round-1 failure (N=10, P=4 → g=11)."""
+        from ifcb_classifier_tpu.parallel.distributed import (
+            reconstruct_global_rows)
+        probs_batches, ns, idx, P, BL, N = self._make_case()
+        ns = ns.copy()
+        ns[3, 1] = 1          # host 3 claims its pad row is real
+        idx[3, 1, 0] = 2      # local idx 2 → g = 3 + 2*4 = 11 >= N
+        probs, glob = reconstruct_global_rows(probs_batches, ns, idx, P, BL, N)
+        assert sorted(glob) == list(range(N))  # pad dropped, no IndexError

@@ -2,10 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is computed
-against a measured stand-in recorded in BENCH_BASELINE.json (the same
-architecture/batch on this host's torch-CPU — reference GPU hardware is not
-available here; see BASELINE.md). Falls back to 1.0 if absent.
+The reference publishes no numbers (BASELINE.md); `vs_baseline` divides by
+the estimated reference single-GPU throughput recorded in BENCH_BASELINE.json
+("ref_gpu_estimate_*", a V100-fp32 era anchor — provenance in BASELINE.md),
+falling back to the measured torch-CPU stand-in and then to 1.0.
 """
 
 import json
@@ -14,6 +14,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _vs_baseline(value: float, *keys):
+    """value / first present key in BENCH_BASELINE.json; 1.0 if none."""
+    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.isfile(base_file):
+        with open(base_file) as f:
+            base = json.load(f)
+        for k in keys:
+            if base.get(k):
+                return round(value / float(base[k]), 2)
+    return 1.0
 
 
 def bench_infer():
@@ -80,10 +93,13 @@ def bench_infer():
         done += n
     _ = float(acc)  # forces the whole dependency chain
     dt = time.perf_counter() - t0
+    ips = done / dt
     print(json.dumps({
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",
-        "value": round(done / dt, 2), "unit": "images/sec/chip",
-        "vs_baseline": 1.0}))
+        "value": round(ips, 2), "unit": "images/sec/chip",
+        "vs_baseline": _vs_baseline(
+            ips, "ref_gpu_estimate_infer_imgs_per_sec",
+            "infer_imgs_per_sec")}))
 
 
 def main():
@@ -128,15 +144,8 @@ def main():
     dt = time.perf_counter() - t0
     imgs_per_sec = BATCH * iters / dt
 
-    vs_baseline = 1.0
-    base_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_BASELINE.json")
-    if os.path.isfile(base_file):
-        with open(base_file) as f:
-            base = json.load(f)
-        if base.get("imgs_per_sec"):
-            vs_baseline = imgs_per_sec / float(base["imgs_per_sec"])
-
+    vs_baseline = _vs_baseline(imgs_per_sec, "ref_gpu_estimate_imgs_per_sec",
+                               "imgs_per_sec")
     print(json.dumps({
         "metric": "inception_v3_299_bf16_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),

@@ -58,8 +58,9 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                            epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        from .layers import TorchBN
+        return TorchBN(momentum=0.01, epsilon=1e-3, dtype=self.dtype,
+                       name="bn")(x, use_running_average=not train)
 
 
 class MBConv(nn.Module):

@@ -16,9 +16,10 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .layers import avg_pool, global_avg_pool, max_pool
+from .layers import TorchBN, avg_pool, global_avg_pool, max_pool
 
 
 class BasicConv2d(nn.Module):
@@ -34,8 +35,8 @@ class BasicConv2d(nn.Module):
         x = nn.Conv(self.features, self.kernel_size, strides=(self.stride,) * 2,
                     padding=((p[0], p[0]), (p[1], p[1])), use_bias=False,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=0.001, dtype=self.dtype, name="bn")(x)
+        x = TorchBN(momentum=0.1, epsilon=0.001, dtype=self.dtype,
+                    name="bn")(x, use_running_average=not train)
         return nn.relu(x)
 
 
@@ -45,6 +46,58 @@ def _bc(features, k, stride=1, padding=(0, 0), dtype=jnp.float32, name=None):
     if isinstance(padding, int):
         padding = (padding, padding)
     return BasicConv2d(features, k, stride, padding, dtype, name=name)
+
+
+class SpaceToDepthStemConv(nn.Module):
+    """Conv2d_1a_3x3 (3x3, stride 2, VALID, 3→32) computed as a stride-1 2x2
+    conv over a 2x2 space-to-depth rearrangement of the input.
+
+    TPU-shaped: a stride-2 conv with C_in=3 occupies 27 of the MXU's 128-lane
+    contraction dim and forces XLA into a strided window; the s2d form is an
+    unstrided conv with contraction 2·2·12=48 over a 4x smaller spatial grid
+    (the standard TPU ResNet stem trick). Numerically EXACT: the logical
+    parameter stays the torch-layout [3,3,3,32] kernel ('conv/kernel', so
+    checkpoints and weight porting are unchanged); it is rearranged into the
+    equivalent [2,2,12,32] kernel at apply time (zero taps where 2a+p=3).
+    Gradients flow through the rearrangement, so training is identical too.
+    """
+    features: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, self.features),
+            jnp.float32)  # same logical param as nn.Conv(3x3)
+        # pad H,W to even; the padded row/col is only touched by zero taps
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        Hp, Wp = x.shape[1], x.shape[2]
+        x = x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp // 2, Wp // 2, 4 * C)
+        # kernel [di,dj,c,o] → [(a,p),(b,q),c,o] → [a,b,(p,q,c),o]
+        k4 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # [4,4,C,o]
+        k4 = k4.reshape(2, 2, 2, 2, C, self.features)           # [a,p,b,q,c,o]
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * C, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+
+
+class BasicConv2dS2D(nn.Module):
+    """BasicConv2d with the space-to-depth conv; module/param names identical
+    to BasicConv2d('Conv2d_1a_3x3') so checkpoints are interchangeable."""
+    features: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = SpaceToDepthStemConv(self.features, self.dtype, name="conv")(x)
+        x = TorchBN(momentum=0.1, epsilon=0.001, dtype=self.dtype,
+                    name="bn")(x, use_running_average=not train)
+        return nn.relu(x)
 
 
 class InceptionA(nn.Module):
@@ -154,6 +207,8 @@ class InceptionV3(nn.Module):
     num_classes: int = 1000
     aux_logits: bool = True
     transform_input: bool = False
+    dropout_rate: float = 0.5  # torchvision Inception3 `dropout` knob
+    stem_s2d: bool = False  # space-to-depth first conv (exact, TPU-shaped)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,7 +222,10 @@ class InceptionV3(nn.Module):
             ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
             x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
 
-        x = _bc(32, 3, stride=2, dtype=d, name="Conv2d_1a_3x3")(x, train)
+        if self.stem_s2d:
+            x = BasicConv2dS2D(32, d, name="Conv2d_1a_3x3")(x, train)
+        else:
+            x = _bc(32, 3, stride=2, dtype=d, name="Conv2d_1a_3x3")(x, train)
         x = _bc(32, 3, dtype=d, name="Conv2d_2a_3x3")(x, train)
         x = _bc(64, 3, padding=1, dtype=d, name="Conv2d_2b_3x3")(x, train)
         x = max_pool(x, 3, 2)
@@ -201,7 +259,7 @@ class InceptionV3(nn.Module):
         x = InceptionE(d, name="Mixed_7b")(x, train)
         x = InceptionE(d, name="Mixed_7c")(x, train)
         x = global_avg_pool(x)
-        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=d, name="fc")(x)
         x = x.astype(jnp.float32)
 

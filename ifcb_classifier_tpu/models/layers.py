@@ -38,16 +38,63 @@ class ConvT(nn.Module):
                        name="conv")(x)
 
 
+class TorchBN(nn.Module):
+    """torch.nn.BatchNorm2d-exact batch norm.
+
+    flax's nn.BatchNorm updates running_var with the BIASED batch variance;
+    torch uses the UNBIASED one (×n/(n-1), torch _BatchNorm.forward). The
+    difference is ~1/n per step — invisible at batch 108 on big feature maps
+    but a real trajectory divergence on small spatial extents (inception aux
+    tower: n=B·5·5), so training-dynamics parity vs torch
+    (tests/test_train_dynamics_parity.py) pins it here. Normalization itself
+    uses the biased variance, same as torch. Variable layout matches
+    nn.BatchNorm ('scale'/'bias' params, 'mean'/'var' in batch_stats) so
+    checkpoints and weight porting are unchanged. Stats are computed in f32
+    regardless of compute dtype (same as flax)."""
+    momentum: float = 0.1  # torch-style: new = (1-m)*old + m*batch
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            # two-pass variance like torch — E[x²]−E[x]² (flax's default)
+            # loses ~10 bits when mean²≫var, visible as 1e-3-level gradient
+            # noise on BN params vs a float64 reference
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = x.size // c
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + \
+                    m * var * (n / max(n - 1, 1))
+        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
 class BatchNormT(nn.Module):
-    """torch.nn.BatchNorm2d defaults: eps=1e-5, torch momentum 0.1
-    (flax momentum = 1 - 0.1 = 0.9). Running stats in the 'batch_stats'
-    collection; scale/bias params in f32 regardless of compute dtype."""
+    """torch.nn.BatchNorm2d defaults: eps=1e-5, momentum 0.1. Running stats
+    in the 'batch_stats' collection; scale/bias params in f32 regardless of
+    compute dtype."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return TorchBN(momentum=0.1, epsilon=1e-5, dtype=self.dtype,
+                       name="bn")(x, use_running_average=not train)
 
 
 def conv_bn(features, kernel_size, stride=1, padding=0, dtype=jnp.float32,

@@ -170,17 +170,58 @@ class Inception3(nn.Module):
         return self.fc(torch.nn.functional.dropout(x, 0.5, self.training)), aux
 
 
+def _merge_json(out_path: str, updates: dict):
+    data = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data.update(updates)
+    with open(out_path, "w") as f:
+        json.dump(data, f, indent=1)
+    print("wrote", out_path)
+
+
+def bench_infer(args, model, out_path):
+    """Eval-mode forward + softmax — the RUN-path stand-in (the reference's
+    test_step, neuston_models.py:152-157) on this host's torch CPU."""
+    model.eval()
+    x = torch.rand(args.batch, 3, 299, 299)
+    with torch.no_grad():
+        out, _ = model(x)
+        _ = torch.softmax(out, 1)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out, _ = model(x)
+            probs = torch.softmax(out, 1)
+        _ = float(probs.sum())
+        dt = time.perf_counter() - t0
+    ips = args.batch * args.iters / dt
+    print(f"torch-CPU inception_v3 infer: {ips:.2f} img/s "
+          f"({dt / args.iters:.1f}s/iter @ batch {args.batch})")
+    _merge_json(out_path, dict(
+        infer_imgs_per_sec=round(ips, 2),
+        infer_what="inception_v3 @299 eval fwd+softmax, torch CPU "
+                   "(reference RUN-path stand-in)",
+        infer_batch=args.batch, infer_iters=args.iters))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=108)  # reference default
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--classes", type=int, default=50)
+    ap.add_argument("--mode", choices=["train", "infer"], default="train")
     args = ap.parse_args()
 
     torch.manual_seed(0)
     model = Inception3(args.classes)
     n_params = sum(p.numel() for p in model.parameters())
     print(f"params: {n_params:,}")
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BASELINE.json")
+    if args.mode == "infer":
+        return bench_infer(args, model, out_path)
 
     opt = torch.optim.Adam(model.parameters(), lr=0.001)
     crit = nn.CrossEntropyLoss()
@@ -207,17 +248,13 @@ def main():
     print(f"torch-CPU inception_v3 train: {ips:.2f} img/s "
           f"({dt / args.iters:.1f}s/iter @ batch {args.batch})")
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_BASELINE.json")
-    with open(out_path, "w") as f:
-        json.dump(dict(
-            imgs_per_sec=round(ips, 2),
-            what="inception_v3 @299 train step, torch 2.13 CPU (reference "
-                 "stack stand-in; reference GPU + published numbers "
-                 "unavailable — see BASELINE.md)",
-            batch=args.batch, iters=args.iters,
-            host_cpus=os.cpu_count(), torch=torch.__version__), f, indent=1)
-    print("wrote", out_path)
+    _merge_json(out_path, dict(
+        imgs_per_sec=round(ips, 2),
+        what="inception_v3 @299 train step, torch 2.13 CPU (reference "
+             "stack stand-in; reference GPU + published numbers "
+             "unavailable — see BASELINE.md)",
+        batch=args.batch, iters=args.iters,
+        host_cpus=os.cpu_count(), torch=torch.__version__))
 
 
 if __name__ == "__main__":

@@ -142,8 +142,9 @@ class InceptionAux(nn.Module):
 class Inception3(nn.Module):
     """torchvision-key-compatible Inception3 (eval-path forward)."""
 
-    def __init__(self, num_classes=50):
+    def __init__(self, num_classes=50, dropout=0.5):
         super().__init__()
+        self.dropout = dropout
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
@@ -174,4 +175,4 @@ class Inception3(nn.Module):
         aux = self.AuxLogits(x) if self.training else None
         x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
         x = F.adaptive_avg_pool2d(x, 1).flatten(1)
-        return self.fc(F.dropout(x, 0.5, self.training)), aux
+        return self.fc(F.dropout(x, self.dropout, self.training)), aux

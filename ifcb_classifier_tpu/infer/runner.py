@@ -68,15 +68,20 @@ class InferenceEngine:
             return predict(params, batch_stats, images)
 
         # multi-device: shard the canvas batch over 'data', replicate params
-        # — the v5e-pod deployment shape (BASELINE config #5). Single chip
-        # degenerates to plain jit.
-        n_dev = len(jax.devices())
-        if n_dev > 1:
+        # — the v5e-pod deployment shape (BASELINE config #5). LOCAL devices
+        # only: in the multi-host fleet each bin is classified entirely by
+        # one process (do_run shards BINS across processes), so the engine's
+        # data parallelism must not span hosts — a global mesh here rejects
+        # the host-local numpy batches outright (caught by
+        # tests/test_multiprocess.py). Single chip degenerates to plain jit.
+        local = jax.local_devices()
+        if len(local) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import make_mesh
+            n_dev = len(local)
             if self.batch_size % n_dev:
                 self.batch_size = -(-self.batch_size // n_dev) * n_dev
-            mesh = make_mesh(n_data=n_dev, n_model=1)
+            mesh = make_mesh(n_data=n_dev, n_model=1, devices=local)
             rep = NamedSharding(mesh, P())
             shard = NamedSharding(mesh, P("data"))
             self._run_batch = jax.jit(

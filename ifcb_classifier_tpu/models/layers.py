@@ -70,18 +70,29 @@ class TorchBN(nn.Module):
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=axes)
-            # two-pass variance like torch — E[x²]−E[x]² (flax's default)
-            # loses ~10 bits when mean²≫var, visible as 1e-3-level gradient
-            # noise on BN params vs a float64 reference
-            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if self.dtype == jnp.float32:
+                # two-pass variance like torch — E[x²]−E[x]² loses ~10 bits
+                # when mean²≫var, visible as 1e-3-level gradient noise on BN
+                # params vs a float64 reference (the dynamics-parity tests
+                # pin this). Costs an extra dependent reduction pass.
+                var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            else:
+                # bf16 compute: inputs carry 8 mantissa bits, so two-pass
+                # precision buys nothing — use the one-pass form whose two
+                # reductions XLA fuses into a single read of the conv
+                # output (two-pass measured 2.5x slower end-to-end on TPU:
+                # 747 vs 1,879 img/s inception@299 b128)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
                 n = x.size // c
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + \
                     m * var * (n / max(n - 1, 1))
-        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
-        y = y * scale + bias
+        # folded multiplier, torch-style: invstd = rsqrt(var+eps), then one
+        # fused multiply-add over the tensor
+        mul = lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * mul + bias
         return y.astype(self.dtype)
 
 

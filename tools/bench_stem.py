@@ -25,8 +25,8 @@ def time_step(step, state, batch, rngs, iters, trials):
     import jax
     import jax.numpy as jnp
     best = float("inf")
+    s = state  # donated buffers: carry the state across trials, never reuse
     for _ in range(trials):
-        s = state
         t0 = time.perf_counter()
         for i in range(iters):
             s, loss = step(s, batch, rngs[i % len(rngs)])

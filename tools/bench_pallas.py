@@ -1,7 +1,14 @@
 """TPU decision bench: Pallas fused gray preprocess vs the XLA
-resize-as-matmul path (ops/preprocess.py) — the gate cited by
-ops/pallas_preprocess.py for whether the kernel is wired into the bin
-inference hot path.
+resize-as-matmul path (ops/preprocess.py).
+
+DECISION (measured 2026-08-16, 1x v5e, B=256 S=128 out=299): the XLA path is
+faster — 0.881 ms/batch (290k img/s) vs 1.077 ms/batch (238k img/s) for the
+Pallas kernel (0.82x). Neither is remotely the bottleneck (training consumes
+~1.9k img/s), so the product ships the XLA path only; the kernel lives HERE
+(not in the package) so the measurement stays reproducible without dead
+product code. Revisit via the double-buffered HBM->VMEM DMA pattern
+(pallas_guide.md) only if input preprocessing ever bottlenecks on real
+hardware.
 
 Measures uint8 canvas [B,S,S] → resized/normalized [B,out,out] on the real
 TPU, device-resident input, dependency-chained fetch, best of N trials.
@@ -18,6 +25,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# ---- the Pallas contender (moved out of the package after losing) ----
+
+
+def preprocess_gray_pallas_factory():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _weights(src, size_canvas, size_out):
+        dtype = jnp.float32
+        src = src.astype(dtype)
+        scale = src / size_out
+        fscale = jnp.maximum(scale, 1.0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (size_out, size_canvas), 0
+                                     ).astype(dtype)
+        j = jax.lax.broadcasted_iota(jnp.int32, (size_out, size_canvas), 1
+                                     ).astype(dtype)
+        center = (i + 0.5) * scale
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(j + 0.5 - center) / fscale)
+        w = jnp.where(j < src, w, 0.0)
+        return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
+
+    def preprocess_gray_pallas(canvas, sizes, *, out_size, interpret=False):
+        B, S, _ = canvas.shape
+        r = out_size
+
+        def kernel(sizes_ref, canvas_ref, out_ref):
+            b = pl.program_id(0)
+            h = sizes_ref[b, 0]
+            w = sizes_ref[b, 1]
+            wh = _weights(h, S, r)
+            ww = _weights(w, S, r)
+            img = canvas_ref[0].astype(jnp.int32).astype(jnp.float32)
+            t = jax.lax.dot_general(wh, img, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            t = jax.lax.dot_general(t, ww, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            t = t * (1.0 / 255.0)
+            out_ref[0] = jnp.clip(t, 0.0, 1.0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, S), lambda b, sz: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, r, r), lambda b, sz: (b, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, r, r), jnp.float32),
+            interpret=interpret)(sizes, canvas)
+
+    return preprocess_gray_pallas
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -31,8 +93,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from ifcb_classifier_tpu.ops.pallas_preprocess import preprocess_gray_pallas
     from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+    preprocess_gray_pallas = preprocess_gray_pallas_factory()
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
 
     enable_compile_cache()

@@ -117,12 +117,17 @@ def main():
     enable_compile_cache()
 
     BATCH = int(os.environ.get("BENCH_BATCH", "128"))
-    model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16)
-    state, tx = create_train_state(model, jax.random.PRNGKey(0), 299)
+    # BENCH_MODEL=resnet50 etc. benches an alternate flagship; the headline
+    # metric stays inception_v3 (the reference's default backbone)
+    model_name = os.environ.get("BENCH_MODEL", "inception_v3")
+    from ifcb_classifier_tpu.models import input_size_for
+    size = int(os.environ.get("BENCH_SIZE", 0)) or input_size_for(model_name)
+    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), size)
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
 
     rng = np.random.RandomState(0)
-    batch = dict(images=jnp.asarray(rng.rand(BATCH, 299, 299, 3), jnp.float32),
+    batch = dict(images=jnp.asarray(rng.rand(BATCH, size, size, 3), jnp.float32),
                  labels=jnp.asarray(rng.randint(0, 50, BATCH), jnp.int32),
                  mask=jnp.ones((BATCH,), bool))
 
@@ -147,7 +152,7 @@ def main():
     vs_baseline = _vs_baseline(imgs_per_sec, "ref_gpu_estimate_imgs_per_sec",
                                "imgs_per_sec")
     print(json.dumps({
-        "metric": "inception_v3_299_bf16_train_imgs_per_sec_per_chip",
+        "metric": f"{model_name}_{size}_bf16_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2),

@@ -117,7 +117,12 @@ def conv_bn(features, kernel_size, stride=1, padding=0, dtype=jnp.float32,
 
 
 def max_pool(x, window, stride, padding=0):
-    """torch MaxPool2d: symmetric padding with -inf fill."""
+    """torch MaxPool2d: symmetric padding with -inf fill.
+
+    reduce_window is the fast form on TPU: a strided-slice + elementwise-max
+    rewrite (to dodge SelectAndScatter in the gradient) measured 6x SLOWER
+    end-to-end (753 vs 1,880 img/s inception@299 b128) because stride-2
+    slices force vector relayouts — see tools/bench_stem.py --layers."""
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return lax.reduce_window(x, -jnp.inf, lax.max,
                              (1, window, window, 1), (1, stride, stride, 1), pads)

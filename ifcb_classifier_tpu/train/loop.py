@@ -157,6 +157,37 @@ def do_training(args):
               "initializing randomly (no torchvision downloads here — port "
               "a state_dict with ifcbnn-util PORT_WEIGHTS).")
 
+    mean, std = (img_norm if img_norm else (None, None))
+
+    # Preprocess is FUSED into the train/eval programs: the uint8 canvas
+    # batch enters ONE compiled step that resizes (MXU matmuls), normalizes,
+    # flips, and trains — no [B,r,r,3] HBM round trip or second dispatch
+    # between preprocess and model. Train-path images reach the model in its
+    # compute dtype (bf16 on TPU); validation stays f32. Cost: one compile
+    # per canvas-ladder size actually seen (usually 1-2 per dataset).
+    raw_train_step = make_train_step(model, tx,
+                                     remat=getattr(args, "remat", False))
+    raw_eval_step = make_eval_step(model)
+
+    def fused_train(state, raw, rng):
+        rng_pp, rng_do = jax.random.split(rng)
+        images = preprocess_batch(raw["canvas"], raw["sizes"], rng_pp,
+                                  out_size=args.resize, mean=mean, std=std,
+                                  flip_x=flip_x, flip_y=flip_y, dtype=dtype)
+        return raw_train_step(state, dict(images=images,
+                                          labels=raw["labels"],
+                                          mask=raw["mask"]), rng_do)
+
+    def fused_eval(state, raw, rng_b):
+        images = preprocess_batch(raw["canvas"], raw["sizes"], rng_b,
+                                  out_size=args.resize, mean=mean, std=std,
+                                  flip_x=flip_x and flip_val,
+                                  flip_y=flip_y and flip_val,
+                                  dtype=jnp.float32)
+        return raw_eval_step(state, dict(images=images,
+                                         labels=raw["labels"],
+                                         mask=raw["mask"]))
+
     # Device mesh: with >1 device the batch shards over 'data' and the
     # classifier head over 'model' automatically (parallel/mesh.py); XLA
     # emits the gradient psums from the sharding annotations. Single device
@@ -175,13 +206,12 @@ def do_training(args):
         mesh = make_mesh(n_data=n_dev, n_model=1)
         sh = state_shardings(state, mesh)
         state = jax.device_put(state, sh)
-        train_step = jax.jit(make_train_step(model, tx,
-                                             remat=getattr(args, "remat", False)),
+        train_step = jax.jit(fused_train,
                              in_shardings=(sh, None, None),
                              out_shardings=(sh, replicated(mesh)),
                              donate_argnums=0)
         # replicated eval outputs: every host can fetch the full probs
-        eval_step = jax.jit(make_eval_step(model),
+        eval_step = jax.jit(fused_eval,
                             out_shardings=(replicated(mesh), replicated(mesh)))
         if n_proc > 1:
             # assemble the global batch from per-host sub-batches; XLA sees
@@ -199,22 +229,9 @@ def do_training(args):
         print(f"Data-parallel over {n_dev} devices "
               f"({n_proc} process{'es' if n_proc > 1 else ''})")
     else:
-        train_step = jax.jit(make_train_step(model, tx,
-                                             remat=getattr(args, "remat", False)),
-                             donate_argnums=0)
-        eval_step = jax.jit(make_eval_step(model))
+        train_step = jax.jit(fused_train, donate_argnums=0)
+        eval_step = jax.jit(fused_eval)
         put_batch = lambda b: b  # noqa: E731
-
-    mean, std = (img_norm if img_norm else (None, None))
-    # train-path images go to the model in its compute dtype (bf16 on TPU):
-    # halves the preprocess→step HBM roundtrip; validation stays f32
-    pp_train = jax.jit(lambda c, s, r: preprocess_batch(
-        c, s, r, out_size=args.resize, mean=mean, std=std,
-        flip_x=flip_x, flip_y=flip_y, dtype=dtype))
-    pp_val = jax.jit(lambda c, s, r: preprocess_batch(
-        c, s, r, out_size=args.resize, mean=mean, std=std,
-        flip_x=flip_x and flip_val, flip_y=flip_y and flip_val,
-        dtype=jnp.float32))
 
     # Outputs
     chkpt_dir = os.path.join(args.outdir, "chkpts")
@@ -272,10 +289,10 @@ def do_training(args):
             # re-samples val flips per image per pass (neuston_data.py:356-364);
             # a constant key would freeze flip decisions by batch-row position
             rng_b = jax.random.fold_in(val_rng, epoch * 100003 + bi)
-            images = pp_val(b["canvas"], b["sizes"], rng_b)
             loss, probs = eval_step(state, put_batch(dict(
-                images=images, labels=jnp.asarray(b["labels"]),
-                mask=jnp.asarray(b["mask"]))))
+                canvas=b["canvas"], sizes=b["sizes"],
+                labels=np.asarray(b["labels"]),
+                mask=np.asarray(b["mask"]))), rng_b)
             n = int(b["mask"].sum())
             losses.append(loss)          # device scalars — fetched once below
             probs_l.append(probs)
@@ -325,14 +342,13 @@ def do_training(args):
         # is identical, just fetched asynchronously)
         n_imgs = 0
         for b in prefetch(iter(train_loader)):
-            rng, rng_pp, rng_do = jax.random.split(rng, 3)
-            images = pp_train(b["canvas"], b["sizes"], rng_pp)
+            rng, rng_sub = jax.random.split(rng)
             if profile_steps and step_count == 2:
                 jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
-            batch = put_batch(dict(images=images,
-                                   labels=jnp.asarray(b["labels"]),
-                                   mask=jnp.asarray(b["mask"])))
-            state, loss = train_step(state, batch, rng_do)
+            batch = put_batch(dict(canvas=b["canvas"], sizes=b["sizes"],
+                                   labels=np.asarray(b["labels"]),
+                                   mask=np.asarray(b["mask"])))
+            state, loss = train_step(state, batch, rng_sub)
             epoch_losses.append(loss)
             n_imgs += int(b["mask"].sum())
             step_count += 1

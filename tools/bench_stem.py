@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--batch", type=int,
                     default=int(os.environ.get("BENCH_BATCH", "128")))
     ap.add_argument("--skip-stem-only", action="store_true")
+    ap.add_argument("--layers", action="store_true",
+                    help="per-layer stem conv fwd+bwd breakdown")
     args = ap.parse_args()
 
     import flax.linen as nn
@@ -66,6 +68,80 @@ def main():
                  mask=jnp.ones((B,), bool))
     rngs = [jax.random.PRNGKey(i) for i in range(4)]
     results = {}
+
+    if args.layers:
+        # per-layer fwd+bwd: where do the stem's 25 ms actually go?
+        from ifcb_classifier_tpu.models.layers import max_pool
+        specs = [
+            ("1a_conv3x3s2_3-32", (B, 299, 299, 3),
+             lambda d: _bc(32, 3, stride=2, dtype=d, name="c")),
+            ("2a_conv3x3_32-32", (B, 149, 149, 32),
+             lambda d: _bc(32, 3, dtype=d, name="c")),
+            ("2b_conv3x3p1_32-64", (B, 147, 147, 32),
+             lambda d: _bc(64, 3, padding=1, dtype=d, name="c")),
+            ("pool1_147-73", (B, 147, 147, 64), "pool"),
+            ("3b_conv1x1_64-80", (B, 73, 73, 64),
+             lambda d: _bc(80, 1, dtype=d, name="c")),
+            ("4a_conv3x3_80-192", (B, 73, 73, 80),
+             lambda d: _bc(192, 3, dtype=d, name="c")),
+            ("pool2_71-35", (B, 71, 71, 192), "pool"),
+        ]
+        # the iteration loop lives INSIDE the jit (lax.scan): one dispatch
+        # per trial, so tunnel dispatch latency (~3-5 ms/call) can't floor
+        # the per-layer numbers
+        for name, shape, make in specs:
+            x = jnp.asarray(rng.rand(*shape), jnp.bfloat16)
+            if make == "pool":
+                @jax.jit
+                def f(x):
+                    def lf(x):
+                        return jnp.mean(max_pool(x, 3, 2).astype(jnp.float32))
+
+                    def body(acc, _):
+                        dep = (1.0 + acc * 1e-12).astype(x.dtype)
+                        l, g = jax.value_and_grad(lf)(x * dep)
+                        return acc + l + jnp.mean(g.astype(jnp.float32)), None
+                    acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                          None, length=args.iters)
+                    return acc
+            else:
+                m = make(jnp.bfloat16)
+                v = m.init({"params": jax.random.PRNGKey(0)}, x, True)
+                p0, bs0 = v["params"], v["batch_stats"]
+
+                @jax.jit
+                def f(x, p0=p0, bs0=bs0, m=m):
+                    def body(carry, _):
+                        acc, bs = carry
+
+                        def lf(p):
+                            out, mut = m.apply(
+                                {"params": p, "batch_stats": bs},
+                                x * (1.0 + acc * 1e-12).astype(x.dtype),
+                                True,
+                                mutable=["batch_stats"])
+                            return (jnp.mean(out.astype(jnp.float32)),
+                                    mut["batch_stats"])
+                        (l, bs), g = jax.value_and_grad(lf, has_aux=True)(p0)
+                        acc = acc + l + jnp.mean(
+                            jax.tree_util.tree_leaves(g)[0]
+                            .astype(jnp.float32))
+                        return (acc, bs), None
+                    (acc, _), _ = jax.lax.scan(
+                        body, (jnp.zeros((), jnp.float32), bs0), None,
+                        length=args.iters)
+                    return acc
+            acc = f(x)
+            _ = float(acc)
+            best = float("inf")
+            for _t in range(args.trials):
+                t0 = time.perf_counter()
+                _ = float(f(x))
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            results[f"layer_{name}_ms"] = round(best * 1e3, 3)
+            print(f"layer {name:22s}: {best*1e3:8.3f} ms", flush=True)
+        print(json.dumps(results))
+        return
 
     for tag, s2d in (("standard", False), ("s2d", True)):
         model = InceptionV3(num_classes=50, stem_s2d=s2d, dtype=jnp.bfloat16)

@@ -200,7 +200,16 @@ def parse_filter(filter_arg):
 
 def do_run(args, engine=None):
     if engine is None:
-        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
+        # --precision is honored on RUN too: auto = bf16 on TPU (measured
+        # score deltas vs fp32 quantified in QUIRKS.md / test_bf16_infer.py),
+        # fp32 = reference-exact inference at ~1/3 TPU throughput
+        precision = getattr(args, "precision", None)
+        dtype = None
+        if precision in ("bf16", "fp32", "f32"):
+            import jax.numpy as _jnp
+            dtype = _jnp.bfloat16 if precision == "bf16" else _jnp.float32
+        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size,
+                                 dtype=dtype)
     import random as _random
     _random.seed(engine.seed)
 

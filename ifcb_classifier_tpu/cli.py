@@ -144,6 +144,16 @@ def argparse_nn_train(train):
                           '("{epoch}" recognized; .json .h5 .mat formats). '
                           "SERIES: data series to include. Defaults match the "
                           "reference (results.mat + standard series).")
+    # the reference reserved -p/--plot but left it TODO (neuston_net.py:379)
+    out.add_argument("-p", "--plot", dest="plot_files",
+                     metavar=("FNAME", "PARAM"), nargs="+", action="append",
+                     help="Make plots (rendered on best epochs, like "
+                          '--results). FNAME: image filename or pattern '
+                          '("{epoch}" recognized; any matplotlib format: '
+                          ".png .pdf .svg). PARAM: panels to draw — curves, "
+                          "f1, confusion, perclass_f1, perclass_recall, "
+                          "perclass_precision, counts_perclass, winscores. "
+                          'Default panels: "curves confusion perclass_f1".')
 
     meta = train.add_argument_group(title="Metadata and Annotations")
     meta.add_argument("--dataset-id",
@@ -190,6 +200,15 @@ def argparse_nn_run(run):
                      help="If set, already-processed bins in OUTDIR are "
                           "reprocessed.")
     run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
+    # the reference reserved -p/--plot but left it TODO (neuston_net.py:413)
+    run.add_argument("-p", "--plot", dest="plot_files",
+                     metavar=("FNAME", "PARAM"), nargs="+", action="append",
+                     help="Make plots. FNAME: image filename or pattern (any "
+                          "matplotlib format: .png .pdf .svg); bin patterns "
+                          "({BIN_ID} {BIN_YEAR} {BIN_DATE} {INPUT_SUBDIRS}) "
+                          "render one figure per bin, a plain FNAME renders "
+                          "ONE aggregate figure at end of run. PARAM: panels "
+                          "to draw — counts, scores (both by default).")
 
 
 def main_cli(argv=None):

@@ -224,6 +224,17 @@ def do_run(args, engine=None):
 
     filter_mode, filter_keywords = parse_filter(args.filter)
 
+    # --plot (the reference's reserved-but-TODO surface, neuston_net.py:413):
+    # bin-templated FNAMEs render per bin; plain FNAMEs render one aggregate
+    # figure at end of run from compact (argmax, winscore) accumulators
+    plot_files = getattr(args, "plot_files", None) or []
+    perbin_plots = [pf for pf in plot_files
+                    if "{BIN_" in pf[0] or "{INPUT_SUBDIRS}" in pf[0]]
+    agg_plots = [pf for pf in plot_files if pf not in perbin_plots]
+    agg_classes, agg_winscores = [], []
+    if plot_files:
+        from ..results.plots import save_run_plots
+
     if args.src_type == "bin":
         if os.path.isdir(args.SRC):
             wl = filter_keywords if filter_mode == "IN" else None
@@ -291,11 +302,34 @@ def do_run(args, engine=None):
                     save_run_results(input_images, probs, engine.classes,
                                      args.cmd_timestamp, args.outdir, outfile,
                                      engine.model_id, bin_obj)
+                if plot_files:
+                    cls = np.argmax(probs, axis=1)
+                    win = np.max(probs, axis=1)
+                    fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
+                               BIN_DATE=bin_obj.yearday,
+                               INPUT_SUBDIRS=bin_obj.namespace)
+                    for fname, *plot_params in perbin_plots:
+                        save_run_plots(
+                            os.path.join(args.outdir, fname).format(**fmt)
+                            .replace(2 * os.sep, os.sep), plot_params,
+                            class_labels=engine.classes, output_classes=cls,
+                            winscores=win, title=str(bin_obj.pid))
+                    if agg_plots:
+                        agg_classes.append(cls)
+                        agg_winscores.append(win)
                 n_done += 1
                 print(".", end="", flush=True)
             except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
                 error_bins.append((bin_obj, e))
 
+        if agg_plots and agg_classes:
+            for fname, *plot_params in agg_plots:
+                save_run_plots(
+                    os.path.join(args.outdir, fname), plot_params,
+                    class_labels=engine.classes,
+                    output_classes=np.concatenate(agg_classes),
+                    winscores=np.concatenate(agg_winscores),
+                    title="{} ({} bins)".format(args.RUN_ID, n_done))
         print("\nRUN IS DONE ({} bins)".format(n_done))
         if error_bins:
             print("The following bins failed; they were not processed:")
@@ -311,4 +345,14 @@ def do_run(args, engine=None):
         for outfile in args.outfile:
             save_run_results(paths, probs, engine.classes, args.cmd_timestamp,
                              args.outdir, outfile, engine.model_id, args.SRC)
+        if perbin_plots:
+            raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "
+                             "available with --type img")
+        for fname, *plot_params in agg_plots:
+            save_run_plots(os.path.join(args.outdir, fname), plot_params,
+                           class_labels=engine.classes,
+                           output_classes=np.argmax(probs, axis=1),
+                           winscores=np.max(probs, axis=1),
+                           title="{} ({} images)".format(args.RUN_ID,
+                                                         len(paths)))
         print("RUN IS DONE ({} images)".format(len(paths)))

@@ -410,6 +410,18 @@ def do_training(args):
                 outfile = os.path.join(args.outdir, fname).format(epoch=epoch)
                 os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
                 save_validation_results(outfile, results)
+            # plot files on best epoch — the reference's reserved-but-TODO
+            # `-p/--plot FNAME PARAM...` surface (neuston_net.py:48,379,455)
+            for pf in (getattr(args, "plot_files", None) or []):
+                from ..results.plots import save_training_plots
+                fname, plot_params = pf[0], pf[1:]
+                save_training_plots(
+                    os.path.join(args.outdir, fname).format(epoch=epoch),
+                    plot_params, epoch_rows=epoch_csv.rows,
+                    class_labels=args.classes, input_classes=input_classes,
+                    output_scores=outputs,
+                    counts_perclass=validation_dataset.count_perclass,
+                    model_id=args.model_id, epoch=epoch)
 
         save_train_state(last_state_path, state, dict(
             epoch=epoch, best_val_loss=best_val_loss, best_epoch=best_epoch,

@@ -199,6 +199,15 @@ def argparse_nn_run(run):
     run.add_argument("--clobber", action="store_true",
                      help="If set, already-processed bins in OUTDIR are "
                           "reprocessed.")
+    run.add_argument("--watch", metavar="SECONDS", type=float,
+                     help="Continuous serving mode (bin dirs only): rescan "
+                          "SRC every SECONDS and classify newly-arrived bins "
+                          "with the same persistent compiled engine. Bins "
+                          "whose files changed within the last interval are "
+                          "deferred until quiescent (the instrument may "
+                          "still be writing them). Ctrl-C to stop. "
+                          "Incompatible with --clobber.")
+    run.add_argument("--watch-passes", type=int, help=argparse.SUPPRESS)
     run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
     # the reference reserved -p/--plot but left it TODO (neuston_net.py:413)
     run.add_argument("-p", "--plot", dest="plot_files",

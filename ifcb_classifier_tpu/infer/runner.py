@@ -23,6 +23,7 @@ Behavior parity checklist:
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -236,23 +237,37 @@ def do_run(args, engine=None):
         from ..results.plots import save_run_plots
 
     if args.src_type == "bin":
-        if os.path.isdir(args.SRC):
-            wl = filter_keywords if filter_mode == "IN" else None
-            bl = filter_keywords if filter_mode == "OUT" else None
-            dd = DataDirectory(args.SRC, whitelist=wl, blacklist=bl)
-        elif os.path.isfile(args.SRC) and args.SRC.endswith(".txt"):
-            with open(args.SRC) as f:
-                bins = [b.strip() for b in f.read().splitlines() if b.strip()]
-            assert bins, "bin list is empty"
-            # commonpath of a single entry is the entry itself — use its dir
-            parent = (os.path.dirname(bins[0]) if len(bins) == 1
-                      else os.path.commonpath(bins))
-            dd = DataDirectory(parent, whitelist=[os.path.basename(b)
-                                                  for b in bins])
-        else:  # single bin
+        # --watch: continuous serving mode (beyond-reference; the reference's
+        # deployment story is batch SLURM jobs, neuston_sbatch.py). The
+        # persistent jit engine classifies new bins as the instrument writes
+        # them; skip-existing semantics make each pass idempotent.
+        watch = getattr(args, "watch", None)
+        if watch and getattr(args, "clobber", False):
+            raise ValueError("--watch and --clobber are mutually exclusive "
+                             "(clobber would reclassify every bin each pass)")
+        if watch and not os.path.isdir(args.SRC):
+            raise ValueError("--watch requires SRC to be a bin directory")
+
+        def make_dd():
+            """(Re)scan SRC — per pass under --watch so new bins appear."""
+            if os.path.isdir(args.SRC):
+                wl = filter_keywords if filter_mode == "IN" else None
+                bl = filter_keywords if filter_mode == "OUT" else None
+                return DataDirectory(args.SRC, whitelist=wl, blacklist=bl)
+            if os.path.isfile(args.SRC) and args.SRC.endswith(".txt"):
+                with open(args.SRC) as f:
+                    bins = [b.strip() for b in f.read().splitlines()
+                            if b.strip()]
+                assert bins, "bin list is empty"
+                # commonpath of a single entry is the entry itself — use its dir
+                parent = (os.path.dirname(bins[0]) if len(bins) == 1
+                          else os.path.commonpath(bins))
+                return DataDirectory(parent, whitelist=[os.path.basename(b)
+                                                        for b in bins])
+            # single bin
             parent = os.path.dirname(args.SRC)
             bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
-            dd = DataDirectory(parent, whitelist=[bin_id])
+            return DataDirectory(parent, whitelist=[bin_id])
 
         # multi-host fleet: each process takes every P-th bin — the job-level
         # fan-out the reference delegated to SLURM submission
@@ -265,71 +280,131 @@ def do_run(args, engine=None):
 
         error_bins = []
         n_done = 0
-        for bin_no, bin in enumerate(dd):
-            if proc_cnt > 1 and bin_no % proc_cnt != proc_idx:
-                continue
-            rel = os.path.dirname(
-                bin.fileset.basepath.replace(args.SRC, ""))
-            bin.pid.namespace = rel + os.sep if rel else ""
-            bin_obj = bin.pid
+        attempted = set()  # pids already processed/failed this session
 
-            if args.filter:  # keyword filter on the pid (neuston_net.py:236-240)
-                if filter_mode == "IN" and not any(
-                        k in str(bin_obj) for k in filter_keywords):
+        def bin_shard_key(bin_no, bin_obj):
+            """Which process owns this bin. Enumeration order is stable for a
+            fixed directory (reference-parity single-pass behavior); under
+            --watch new arrivals shift indices between passes, so ownership
+            must come from the pid itself to stay stable across rescans."""
+            if watch:
+                import zlib
+                return zlib.crc32(str(bin_obj.pid).encode()) % proc_cnt
+            return bin_no % proc_cnt
+
+        def run_pass():
+            """One sweep over SRC; returns number of bins newly classified."""
+            nonlocal n_done
+            new_done = 0
+            for bin_no, bin in enumerate(make_dd()):
+                rel = os.path.dirname(
+                    bin.fileset.basepath.replace(args.SRC, ""))
+                bin.pid.namespace = rel + os.sep if rel else ""
+                bin_obj = bin.pid
+                if proc_cnt > 1 and bin_shard_key(bin_no, bin_obj) != proc_idx:
                     continue
-                if filter_mode == "OUT" and any(
-                        k in str(bin_obj) for k in filter_keywords):
+                if str(bin_obj) in attempted:
                     continue
 
-            if not args.clobber:
-                fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
-                           BIN_DATE=bin_obj.yearday,
-                           INPUT_SUBDIRS=bin_obj.namespace)
-                ofiles = [os.path.join(args.outdir, o).format(**fmt)
-                          .replace(2 * os.sep, os.sep) for o in args.outfile]
-                if all(os.path.isfile(o) for o in ofiles):
-                    print("{} result-file(s) already exist - skipping this bin"
-                          .format(bin_obj))
-                    continue
+                if args.filter:  # keyword filter on the pid (neuston_net.py:236-240)
+                    if filter_mode == "IN" and not any(
+                            k in str(bin_obj) for k in filter_keywords):
+                        continue
+                    if filter_mode == "OUT" and any(
+                            k in str(bin_obj) for k in filter_keywords):
+                        continue
 
-            try:
-                targets, probs = engine.predict_bin(bin)
-                if not targets:
-                    error_bins.append((bin_obj, AssertionError("Bin is Empty")))
-                    continue
-                input_images = [bin_obj.with_target(t) for t in targets]
-                for outfile in args.outfile:
-                    save_run_results(input_images, probs, engine.classes,
-                                     args.cmd_timestamp, args.outdir, outfile,
-                                     engine.model_id, bin_obj)
-                if plot_files:
-                    cls = np.argmax(probs, axis=1)
-                    win = np.max(probs, axis=1)
+                if watch:
+                    # quiescence gate: the instrument writes .adc/.roi/.hdr
+                    # incrementally — don't classify a bin still being
+                    # written; it is picked up on a later pass once its files
+                    # have been stable for a full watch interval
+                    newest = max((os.path.getmtime(p) for p in
+                                  (bin.adc_path, bin.roi_path, bin.hdr_path)
+                                  if os.path.isfile(p)), default=0)
+                    if time.time() - newest < watch:
+                        continue
+
+                if not args.clobber:
                     fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
                                BIN_DATE=bin_obj.yearday,
                                INPUT_SUBDIRS=bin_obj.namespace)
-                    for fname, *plot_params in perbin_plots:
-                        save_run_plots(
-                            os.path.join(args.outdir, fname).format(**fmt)
-                            .replace(2 * os.sep, os.sep), plot_params,
-                            class_labels=engine.classes, output_classes=cls,
-                            winscores=win, title=str(bin_obj.pid))
-                    if agg_plots:
-                        agg_classes.append(cls)
-                        agg_winscores.append(win)
-                n_done += 1
-                print(".", end="", flush=True)
-            except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
-                error_bins.append((bin_obj, e))
+                    ofiles = [os.path.join(args.outdir, o).format(**fmt)
+                              .replace(2 * os.sep, os.sep)
+                              for o in args.outfile]
+                    if all(os.path.isfile(o) for o in ofiles):
+                        if not watch:
+                            print("{} result-file(s) already exist - skipping "
+                                  "this bin".format(bin_obj))
+                        attempted.add(str(bin_obj))
+                        continue
 
-        if agg_plots and agg_classes:
-            for fname, *plot_params in agg_plots:
-                save_run_plots(
-                    os.path.join(args.outdir, fname), plot_params,
-                    class_labels=engine.classes,
-                    output_classes=np.concatenate(agg_classes),
-                    winscores=np.concatenate(agg_winscores),
-                    title="{} ({} bins)".format(args.RUN_ID, n_done))
+                try:
+                    targets, probs = engine.predict_bin(bin)
+                    if not targets:
+                        attempted.add(str(bin_obj))
+                        error_bins.append((bin_obj,
+                                           AssertionError("Bin is Empty")))
+                        continue
+                    input_images = [bin_obj.with_target(t) for t in targets]
+                    for outfile in args.outfile:
+                        save_run_results(input_images, probs, engine.classes,
+                                         args.cmd_timestamp, args.outdir,
+                                         outfile, engine.model_id, bin_obj)
+                    if plot_files:
+                        cls = np.argmax(probs, axis=1)
+                        win = np.max(probs, axis=1)
+                        fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
+                                   BIN_DATE=bin_obj.yearday,
+                                   INPUT_SUBDIRS=bin_obj.namespace)
+                        for fname, *plot_params in perbin_plots:
+                            save_run_plots(
+                                os.path.join(args.outdir, fname).format(**fmt)
+                                .replace(2 * os.sep, os.sep), plot_params,
+                                class_labels=engine.classes,
+                                output_classes=cls, winscores=win,
+                                title=str(bin_obj.pid))
+                        if agg_plots:
+                            agg_classes.append(cls)
+                            agg_winscores.append(win)
+                    n_done += 1
+                    new_done += 1
+                    attempted.add(str(bin_obj))
+                    print(".", end="", flush=True)
+                except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
+                    attempted.add(str(bin_obj))
+                    error_bins.append((bin_obj, e))
+            return new_done
+
+        def refresh_agg_plots():
+            if agg_plots and agg_classes:
+                for fname, *plot_params in agg_plots:
+                    save_run_plots(
+                        os.path.join(args.outdir, fname), plot_params,
+                        class_labels=engine.classes,
+                        output_classes=np.concatenate(agg_classes),
+                        winscores=np.concatenate(agg_winscores),
+                        title="{} ({} bins)".format(args.RUN_ID, n_done))
+
+        if not watch:
+            run_pass()
+            refresh_agg_plots()
+        else:
+            max_passes = getattr(args, "watch_passes", None)  # test hook
+            passes = 0
+            print("Watching {} every {:g}s (Ctrl-C to stop)".format(
+                args.SRC, watch), flush=True)
+            try:
+                while True:
+                    if run_pass():
+                        refresh_agg_plots()
+                    passes += 1
+                    if max_passes and passes >= max_passes:
+                        break
+                    time.sleep(watch)
+            except KeyboardInterrupt:
+                print("\nwatch stopped")
+
         print("\nRUN IS DONE ({} bins)".format(n_done))
         if error_bins:
             print("The following bins failed; they were not processed:")

@@ -128,3 +128,78 @@ class TestEpochPattern:
                 assert "output_scores" in json.load(f)
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+
+class TestWatchMode:
+    """--watch continuous serving (beyond-reference): rescan-per-pass, bin
+    arrival between passes, quiescence deferral, flag validation."""
+
+    def test_new_bin_picked_up_between_passes(self, ckpt, tmp_path,
+                                              monkeypatch):
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20240401T000000_IFCB900",
+                  [make_roi(16, 20, 1), make_roi(10, 10, 2)], 2)
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+            def time(self):  # far future → every bin counts as quiescent
+                return real_time.time() + 1e6
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 1:  # a new bin arrives between passes
+                    write_bin(str(root), "D20240402T000000_IFCB900",
+                              [make_roi(12, 12, 3)], 2)
+
+        ft = FakeTime()
+        monkeypatch.setattr(runner, "time", ft)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                               watch_passes=3))
+        assert ft.sleeps == 2
+        done = sorted(os.listdir(out))
+        assert done == ["D20240401T000000_IFCB900.json",
+                        "D20240402T000000_IFCB900.json"]
+
+    def test_quiescence_defers_fresh_bins(self, ckpt, tmp_path, monkeypatch):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20240403T000000_IFCB900",
+                  [make_roi(16, 20, 1)], 2)  # mtime = now → not quiescent
+        out = str(tmp_path / "out")
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1))
+        assert not os.path.isdir(out) or not os.listdir(out)
+        # age the bin files past the interval → classified on the next run
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1))
+        assert os.listdir(out) == ["D20240403T000000_IFCB900.json"]
+
+    def test_watch_clobber_mutually_exclusive(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20240404T000000_IFCB900",
+                  [make_roi(8, 8, 0)], 2)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            do_run(run_args(str(root), ckpt, str(tmp_path / "out"),
+                            watch=1.0, watch_passes=1, clobber=True))
+
+    def test_watch_requires_directory(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        lst = tmp_path / "bins.txt"
+        lst.write_text("whatever\n")
+        with pytest.raises(ValueError, match="directory"):
+            do_run(run_args(str(lst), ckpt, str(tmp_path / "out"),
+                            watch=1.0, watch_passes=1))
+
+    def test_cli_parses_watch(self):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        a = argparse_nn().parse_args(
+            ["RUN", "src", "m.ptl", "rid", "--watch", "30"])
+        assert a.watch == 30.0 and a.watch_passes is None

@@ -208,6 +208,10 @@ def argparse_nn_run(run):
                           "still be writing them). Ctrl-C to stop. "
                           "Incompatible with --clobber.")
     run.add_argument("--watch-passes", type=int, help=argparse.SUPPRESS)
+    run.add_argument("--profile", metavar="N", default=0, type=int,
+                     help="Capture a jax.profiler trace of the first N "
+                          "classified bins (or the whole pass in img mode) "
+                          "into OUTDIR/profile")
     run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
     # the reference reserved -p/--plot but left it TODO (neuston_net.py:413)
     run.add_argument("-p", "--plot", dest="plot_files",

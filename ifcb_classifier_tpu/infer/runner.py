@@ -282,6 +282,21 @@ def do_run(args, engine=None):
         n_done = 0
         attempted = set()  # pids already processed/failed this session
 
+        # --profile N: jax.profiler trace of the first N classified bins
+        # (SURVEY.md §5.1 — observability on the deployment path too)
+        profile_bins = int(getattr(args, "profile", 0) or 0)
+        profiling = False
+
+        def maybe_profile():
+            nonlocal profile_bins, profiling
+            if profile_bins and not profiling and n_done == 0:
+                jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
+                profiling = True
+            elif profiling and n_done >= profile_bins:
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_bins = 0
+
         def bin_shard_key(bin_no, bin_obj):
             """Which process owns this bin. Enumeration order is stable for a
             fixed directory (reference-parity single-pass behavior); under
@@ -340,6 +355,7 @@ def do_run(args, engine=None):
                         continue
 
                 try:
+                    maybe_profile()
                     targets, probs = engine.predict_bin(bin)
                     if not targets:
                         attempted.add(str(bin_obj))
@@ -370,6 +386,7 @@ def do_run(args, engine=None):
                     n_done += 1
                     new_done += 1
                     attempted.add(str(bin_obj))
+                    maybe_profile()
                     print(".", end="", flush=True)
                 except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
                     attempted.add(str(bin_obj))
@@ -405,6 +422,8 @@ def do_run(args, engine=None):
             except KeyboardInterrupt:
                 print("\nwatch stopped")
 
+        if profiling:  # fewer bins than N — close the trace cleanly
+            jax.profiler.stop_trace()
         print("\nRUN IS DONE ({} bins)".format(n_done))
         if error_bins:
             print("The following bins failed; they were not processed:")
@@ -416,7 +435,14 @@ def do_run(args, engine=None):
         assert len(img_paths) > 0, "No images to process"
         loader = HostLoader(img_paths, batch_size=args.batch_size,
                             num_workers=args.loaders, rgb=True)
-        probs, paths = engine.predict_loader(loader)
+        if int(getattr(args, "profile", 0) or 0):
+            jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
+            try:
+                probs, paths = engine.predict_loader(loader)
+            finally:
+                jax.profiler.stop_trace()
+        else:
+            probs, paths = engine.predict_loader(loader)
         for outfile in args.outfile:
             save_run_results(paths, probs, engine.classes, args.cmd_timestamp,
                              args.outdir, outfile, engine.model_id, args.SRC)

@@ -203,3 +203,23 @@ class TestWatchMode:
         a = argparse_nn().parse_args(
             ["RUN", "src", "m.ptl", "rid", "--watch", "30"])
         assert a.watch == 30.0 and a.watch_passes is None
+
+
+class TestRunProfile:
+    def test_bin_mode_trace_written(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out, profile=1))
+        prof = os.path.join(out, "profile")
+        assert os.path.isdir(prof)
+        found = [f for _, _, fs in os.walk(prof) for f in fs]
+        assert found  # a trace artifact exists
+
+    def test_img_mode_trace_written(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"a": 3},
+                                         size=(30, 30))
+        out = str(tmp_path / "out")
+        do_run(run_args(src, ckpt, out, src_type="img",
+                        outfile=["img_results.json"], profile=1))
+        assert os.path.isdir(os.path.join(out, "profile"))

@@ -155,6 +155,26 @@ def argparse_nn_train(train):
                           "perclass_precision, counts_perclass, winscores. "
                           'Default panels: "curves confusion perclass_f1".')
 
+    # the reference reserved this whole group but left it commented out
+    # (neuston_net.py:385-390); --batch-norm is dropped — its author "forgot
+    # what this is exactly" (:390) and it never had semantics to preserve
+    optim = train.add_argument_group(
+        title="Optimization", description="Adjust learning hyper parameters")
+    optim.add_argument("--optimizer", default="Adam",
+                       choices=["Adam", "AdamW", "SGD"],
+                       help="Select an optimizer (torch semantics: Adam = "
+                            "coupled L2 decay, AdamW = decoupled, SGD = "
+                            "momentum 0.9). Default is Adam")
+    optim.add_argument("--learning-rate", default=0.001, type=float,
+                       help="Set a learning rate. Default is 0.001")
+    optim.add_argument("--weight-decay", default=0.0, type=float,
+                       help="Weight-decay coefficient. Default is 0 (off)")
+    optim.add_argument("--class-norm", action="store_true",
+                       help="Bias the training loss to emphasize smaller "
+                            "classes: inverse-frequency class weights "
+                            '(sklearn "balanced"). Validation loss stays '
+                            "unweighted so early stopping is comparable.")
+
     meta = train.add_argument_group(title="Metadata and Annotations")
     meta.add_argument("--dataset-id",
                       help="Associate a dataset id label with this model")

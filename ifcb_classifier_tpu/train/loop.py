@@ -146,7 +146,11 @@ def do_training(args):
     model = get_namebrand_model(args.MODEL, len(args.classes),
                                 pretrained=args.pretrained, dtype=dtype)
     rng = jax.random.PRNGKey(args.seed)
-    state, tx = create_train_state(model, rng, args.resize)
+    state, tx = create_train_state(
+        model, rng, args.resize,
+        learning_rate=getattr(args, "learning_rate", 0.001),
+        optimizer=getattr(args, "optimizer", "Adam"),
+        weight_decay=getattr(args, "weight_decay", 0.0))
     if getattr(args, "weights", None):
         from ..models.torch_port import load_torch_weights
         state = state.replace(**load_torch_weights(
@@ -165,8 +169,20 @@ def do_training(args):
     # between preprocess and model. Train-path images reach the model in its
     # compute dtype (bf16 on TPU); validation stays f32. Cost: one compile
     # per canvas-ladder size actually seen (usually 1-2 per dataset).
+    # --class-norm (the reference's reserved Optimization surface,
+    # neuston_net.py:389 "bias results to emphasize smaller classes"):
+    # inverse-frequency training-loss weights, sklearn-'balanced' formula
+    class_weights = None
+    if getattr(args, "class_norm", False):
+        counts = np.asarray(training_dataset.count_perclass, np.float64)
+        class_weights = counts.sum() / (len(counts) *
+                                        np.maximum(counts, 1.0))
+        print("Class-normalized loss: weights in [{:.3f}, {:.3f}]".format(
+            class_weights.min(), class_weights.max()))
+
     raw_train_step = make_train_step(model, tx,
-                                     remat=getattr(args, "remat", False))
+                                     remat=getattr(args, "remat", False),
+                                     class_weights=class_weights)
     raw_eval_step = make_eval_step(model)
 
     def fused_train(state, raw, rng):

@@ -34,44 +34,96 @@ class TrainState:
     step: jnp.ndarray
 
 
-def create_train_state(model, rng, input_size: int, learning_rate: float = 0.001):
+def make_optimizer(optimizer: str = "Adam", learning_rate: float = 0.001,
+                   weight_decay: float = 0.0):
+    """Build the optax transform for the `--optimizer/--learning-rate/
+    --weight-decay` surface the reference reserved but left commented out
+    (neuston_net.py:385-388). Torch-semantics choices:
+
+      Adam   torch.optim.Adam — L2 weight decay folded into the gradient
+             BEFORE the moment updates (optax.add_decayed_weights upstream
+             of scale_by_adam), matching torch's coupled decay
+      AdamW  decoupled decay (optax.adamw == torch.optim.AdamW)
+      SGD    momentum 0.9 (stated in the CLI help; torch's default is 0 but
+             momentumless SGD is never what a CNN user wants)
+    """
+    opt = optimizer.lower()
+    if opt == "adam":
+        if not weight_decay:
+            # identical pytree to the historical optax.adam state so
+            # pre-existing chkpts/last.state files keep resuming
+            return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-learning_rate))
+    if opt == "adamw":
+        return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
+    if opt == "sgd":
+        sgd = optax.sgd(learning_rate, momentum=0.9)
+        if weight_decay:
+            return optax.chain(optax.add_decayed_weights(weight_decay), sgd)
+        return sgd
+    raise ValueError(f"unknown optimizer {optimizer!r} "
+                     "(choose Adam, AdamW, or SGD)")
+
+
+def create_train_state(model, rng, input_size: int,
+                       learning_rate: float = 0.001,
+                       optimizer: str = "Adam", weight_decay: float = 0.0):
     """Initialize params/batch_stats (train=True so aux heads materialize)
-    and the Adam optimizer (torch-default betas/eps, neuston_models.py:63-64)."""
+    and the optimizer (default Adam with torch betas/eps,
+    neuston_models.py:63-64)."""
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     p_rng, d_rng = jax.random.split(rng)
     variables = model.init({"params": p_rng, "dropout": d_rng}, dummy, train=True)
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    tx = make_optimizer(optimizer, learning_rate, weight_decay)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
 
 
-def cross_entropy(logits, labels, mask):
-    """Mean CE over valid rows (torch CrossEntropyLoss reduction='mean')."""
+def cross_entropy(logits, labels, mask, class_weights=None):
+    """Mean CE over valid rows (torch CrossEntropyLoss reduction='mean').
+
+    class_weights (the `--class-norm` surface, neuston_net.py:389): per-class
+    loss weights with torch CrossEntropyLoss(weight=w) semantics — weighted
+    mean Σ w[y_i]·nll_i / Σ w[y_i] over valid rows."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     mask = mask.astype(jnp.float32)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[labels] * mask
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-9)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def loss_fn(outputs, labels, mask):
+def loss_fn(outputs, labels, mask, class_weights=None):
     """CE with the inception aux rule (neuston_models.py:70-78)."""
     if isinstance(outputs, tuple) and len(outputs) == 2:
         main, aux = outputs
-        return cross_entropy(main, labels, mask) + 0.4 * cross_entropy(aux, labels, mask)
-    return cross_entropy(outputs, labels, mask)
+        return (cross_entropy(main, labels, mask, class_weights) +
+                0.4 * cross_entropy(aux, labels, mask, class_weights))
+    return cross_entropy(outputs, labels, mask, class_weights)
 
 
 def make_train_step(model, tx, axis_name: str | None = None,
-                    remat: bool = False):
-    """One SGD step: grads (+psum over `axis_name` if data-parallel),
-    BN update, Adam update. Donates the state buffer.
+                    remat: bool = False, class_weights=None):
+    """One optimizer step: grads (+psum over `axis_name` if data-parallel),
+    BN update, optimizer update. Donates the state buffer.
 
     remat=True rematerializes the forward pass in backprop (jax.checkpoint):
     ~1.3x FLOPs for a several-fold activation-memory cut, unlocking larger
     per-chip batches (inception@299 spills HBM past batch 128 without it).
+
+    class_weights: per-class training-loss weights (`--class-norm`); the
+    validation loss stays unweighted so best-epoch/early-stop selection
+    remains comparable across runs (documented in QUIRKS.md).
     """
+    cw = None if class_weights is None else jnp.asarray(class_weights,
+                                                        jnp.float32)
 
     def train_step(state: TrainState, batch, dropout_rng):
         def apply_fn(params, images):
@@ -86,7 +138,7 @@ def make_train_step(model, tx, axis_name: str | None = None,
 
         def compute_loss(params):
             outputs, mutated = apply_fn(params, batch["images"])
-            loss = loss_fn(outputs, batch["labels"], batch["mask"])
+            loss = loss_fn(outputs, batch["labels"], batch["mask"], cw)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(

@@ -223,3 +223,34 @@ class TestRunProfile:
         do_run(run_args(src, ckpt, out, src_type="img",
                         outfile=["img_results.json"], profile=1))
         assert os.path.isdir(os.path.join(out, "profile"))
+
+
+class TestWatchMultiHostSharding:
+    def test_pid_hash_ownership_disjoint_and_complete(self, ckpt, tmp_path,
+                                                      monkeypatch):
+        """Watch mode shards bins by pid hash (stable under rescans that
+        shift enumeration order). Simulate a 2-process fleet: each process's
+        pass must classify a disjoint subset, and the union must be all
+        bins."""
+        import jax
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pids = [f"D2024080{i}T000000_IFCB900" for i in range(1, 6)]
+        for i, pid in enumerate(pids):
+            write_bin(str(root), pid, [make_roi(10 + i, 12, i)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))  # quiescent
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+
+        outs = []
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        for idx in (0, 1):
+            monkeypatch.setattr(jax, "process_index", lambda i=idx: i)
+            out = str(tmp_path / f"out{idx}")
+            runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                                   watch_passes=1))
+            outs.append(set(os.listdir(out)) if os.path.isdir(out) else set())
+        assert outs[0] & outs[1] == set()
+        assert outs[0] | outs[1] == {p + ".json" for p in pids}
+        assert outs[0] and outs[1]  # 5 bins over 2 hosts: both get work

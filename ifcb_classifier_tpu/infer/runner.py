@@ -169,6 +169,18 @@ class InferenceEngine:
         ordered = sorted(probs_by_target)
         return ordered, np.stack([probs_by_target[t] for t in ordered])
 
+    def gobig(self, on_result, on_error, inflight_depth=4):
+        """Cross-bin batch aggregation — the real implementation of the
+        reference's --gobig (neuston_net.py:261-271, which aggregated all
+        bins into one Trainer run to amortize setup). Here the win is pad
+        elimination: per-bin batches pad each ladder bucket up to the batch
+        size, so small bins waste MXU slots; the aggregator packs ROIs from
+        MANY bins into shared full batches and only pads once, at the final
+        flush. Per-bin output files and per-bin error isolation are kept:
+        results are routed back per ROI and a bin completes (on_result)
+        when its last ROI returns."""
+        return _GobigAggregator(self, on_result, on_error, inflight_depth)
+
     def predict_loader(self, loader):
         """Stream a HostLoader (image paths) through the engine; returns
         (probs [N,C], paths in traversal order). Async dispatch, one fetch."""
@@ -182,6 +194,133 @@ class InferenceEngine:
         fetched = jax.device_get(pending)
         return (np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0),
                 paths)
+
+
+class _GobigAggregator:
+    """Cross-bin canvas packing for InferenceEngine.gobig().
+
+    ROI descriptors queue per ladder-bucket size; a bucket dispatches as a
+    FULL batch the moment it fills (no pad rows except the end-of-run
+    flush). Corrupt bins (ROI byte ranges out of bounds) are rejected whole
+    at add_bin time, before anything is enqueued, preserving predict_bin's
+    fail-the-whole-bin semantics. Completion order is arbitrary — a bin's
+    on_result fires when its last ROI's batch returns."""
+
+    def __init__(self, engine, on_result, on_error, inflight_depth=4):
+        self.engine = engine
+        self.on_result = on_result
+        self.on_error = on_error
+        self.depth = max(1, inflight_depth)
+        self.queues = {}    # S -> list of (key, target, roi_buf, s0, h, w)
+        self.bins = {}      # key -> dict(obj, remaining, rows{target: probs})
+        self.inflight = []  # (device_probs, [(key, target), ...])
+        self._next_key = 0
+
+    def add_bin(self, bin, bin_obj):
+        from ..data.pipeline import ladder_size
+
+        if bin.schema == SCHEMA_VERSION_1:
+            # legacy stitched bins: classify immediately via the generic path
+            images_dict = infilled_images(bin)
+            if not images_dict:
+                self.on_error(bin_obj, AssertionError("Bin is Empty"))
+                return
+            targets = list(images_dict.keys())
+            probs = self.engine.predict_images(list(images_dict.values()))
+            self.on_result(bin_obj, targets, probs)
+            return
+
+        adc = bin.adc
+        keep = np.nonzero((adc["roiWidth"] > 0) & (adc["roiHeight"] > 0))[0]
+        if keep.size == 0:
+            self.on_error(bin_obj, AssertionError("Bin is Empty"))
+            return
+        heights = adc["roiHeight"][keep].astype(np.int64)
+        widths = adc["roiWidth"][keep].astype(np.int64)
+        starts = adc["startByte"][keep].astype(np.int64)
+        roi_buf = bin._roi_bytes
+        # whole-bin bounds check BEFORE enqueueing (predict_bin parity:
+        # a truncated .roi fails the bin loudly, never classifies garbage)
+        bad = np.nonzero(starts + heights * widths > roi_buf.size)[0]
+        if bad.size:
+            self.on_error(bin_obj, ValueError(
+                "corrupt bin: ROI byte range out of bounds for target(s) "
+                "{}".format([int(keep[j] + 1) for j in bad[:5]])))
+            return
+
+        key = self._next_key
+        self._next_key += 1
+        self.bins[key] = dict(obj=bin_obj, remaining=int(keep.size), rows={})
+        for i in range(keep.size):
+            S = ladder_size(int(max(heights[i], widths[i])))
+            self.queues.setdefault(S, []).append(
+                (key, int(keep[i] + 1), roi_buf,
+                 int(starts[i]), int(heights[i]), int(widths[i])))
+            q = self.queues[S]
+            if len(q) >= self.engine.batch_size:
+                self._dispatch(S, q[:self.engine.batch_size])
+                self.queues[S] = q[self.engine.batch_size:]
+
+    def _dispatch(self, S, items):
+        """Pack `items` (<= batch_size) into one canvas batch and dispatch.
+        Packing runs per same-buffer fragment through the native packer,
+        then fragments concatenate; the tail pads with 1x1 rows (eval mode
+        — pad rows are sliced off before routing, BN stats never update)."""
+        from .. import native
+
+        B = self.engine.batch_size
+        frags, meta = [], []
+        i = 0
+        while i < len(items):
+            j = i
+            buf = items[i][2]
+            while j < len(items) and items[j][2] is buf:
+                j += 1
+            frag = items[i:j]
+            canvas, sizes = native.pack_rois_native(
+                buf,
+                np.asarray([f[3] for f in frag], np.int64),
+                np.asarray([f[4] for f in frag], np.int64),
+                np.asarray([f[5] for f in frag], np.int64),
+                batch_size=len(frag), canvas_size=int(S))
+            frags.append((canvas, sizes))
+            meta.extend((f[0], f[1]) for f in frag)
+            i = j
+        canvas = np.concatenate([c for c, _ in frags], axis=0)
+        sizes = np.concatenate([s for _, s in frags], axis=0)
+        if len(items) < B:  # final-flush padding only
+            canvas = np.concatenate(
+                [canvas, np.zeros((B - len(items), S, S), np.uint8)], axis=0)
+            sizes = np.concatenate(
+                [sizes, np.ones((B - len(items), 2), np.int32)], axis=0)
+        self.inflight.append((self.engine._run_batch(
+            self.engine.params, self.engine.batch_stats, canvas, sizes),
+            meta))
+        if len(self.inflight) > self.depth:
+            self._drain_one()
+
+    def _drain_one(self):
+        probs, meta = self.inflight.pop(0)
+        probs = jax.device_get(probs)
+        for row, (key, target) in zip(probs, meta):
+            b = self.bins[key]
+            b["rows"][target] = row
+            b["remaining"] -= 1
+            if b["remaining"] == 0:
+                del self.bins[key]
+                ordered = sorted(b["rows"])
+                self.on_result(b["obj"], ordered,
+                               np.stack([b["rows"][t] for t in ordered]))
+
+    def flush(self):
+        """Dispatch all partial buckets and drain every in-flight batch."""
+        for S, q in sorted(self.queues.items()):
+            for c0 in range(0, len(q), self.engine.batch_size):
+                self._dispatch(S, q[c0:c0 + self.engine.batch_size])
+        self.queues = {}
+        while self.inflight:
+            self._drain_one()
+        assert not self.bins, "gobig: bins left incomplete after flush"
 
 
 def parse_filter(filter_arg):
@@ -311,6 +450,45 @@ def do_run(args, engine=None):
             """One sweep over SRC; returns number of bins newly classified."""
             nonlocal n_done
             new_done = 0
+
+            def emit_result(bin_obj, targets, probs):
+                """Write files/plots for one completed bin (called directly
+                on the per-bin path, or by the gobig aggregator whenever a
+                bin's last ROI returns)."""
+                nonlocal n_done, new_done
+                input_images = [bin_obj.with_target(t) for t in targets]
+                for outfile in args.outfile:
+                    save_run_results(input_images, probs, engine.classes,
+                                     args.cmd_timestamp, args.outdir,
+                                     outfile, engine.model_id, bin_obj)
+                if plot_files:
+                    cls = np.argmax(probs, axis=1)
+                    win = np.max(probs, axis=1)
+                    fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
+                               BIN_DATE=bin_obj.yearday,
+                               INPUT_SUBDIRS=bin_obj.namespace)
+                    for fname, *plot_params in perbin_plots:
+                        save_run_plots(
+                            os.path.join(args.outdir, fname).format(**fmt)
+                            .replace(2 * os.sep, os.sep), plot_params,
+                            class_labels=engine.classes,
+                            output_classes=cls, winscores=win,
+                            title=str(bin_obj.pid))
+                    if agg_plots:
+                        agg_classes.append(cls)
+                        agg_winscores.append(win)
+                n_done += 1
+                new_done += 1
+                maybe_profile()
+                print(".", end="", flush=True)
+
+            # --gobig: cross-bin batch aggregation (neuston_net.py:261-271
+            # role) — small bins stop wasting pad slots; files/errors stay
+            # per-bin via the callbacks
+            agg = (engine.gobig(emit_result,
+                                lambda o, e: error_bins.append((o, e)))
+                   if getattr(args, "gobig", False) else None)
+
             for bin_no, bin in enumerate(make_dd()):
                 rel = os.path.dirname(
                     bin.fileset.basepath.replace(args.SRC, ""))
@@ -356,41 +534,20 @@ def do_run(args, engine=None):
 
                 try:
                     maybe_profile()
+                    attempted.add(str(bin_obj))
+                    if agg is not None:
+                        agg.add_bin(bin, bin_obj)
+                        continue
                     targets, probs = engine.predict_bin(bin)
                     if not targets:
-                        attempted.add(str(bin_obj))
                         error_bins.append((bin_obj,
                                            AssertionError("Bin is Empty")))
                         continue
-                    input_images = [bin_obj.with_target(t) for t in targets]
-                    for outfile in args.outfile:
-                        save_run_results(input_images, probs, engine.classes,
-                                         args.cmd_timestamp, args.outdir,
-                                         outfile, engine.model_id, bin_obj)
-                    if plot_files:
-                        cls = np.argmax(probs, axis=1)
-                        win = np.max(probs, axis=1)
-                        fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
-                                   BIN_DATE=bin_obj.yearday,
-                                   INPUT_SUBDIRS=bin_obj.namespace)
-                        for fname, *plot_params in perbin_plots:
-                            save_run_plots(
-                                os.path.join(args.outdir, fname).format(**fmt)
-                                .replace(2 * os.sep, os.sep), plot_params,
-                                class_labels=engine.classes,
-                                output_classes=cls, winscores=win,
-                                title=str(bin_obj.pid))
-                        if agg_plots:
-                            agg_classes.append(cls)
-                            agg_winscores.append(win)
-                    n_done += 1
-                    new_done += 1
-                    attempted.add(str(bin_obj))
-                    maybe_profile()
-                    print(".", end="", flush=True)
+                    emit_result(bin_obj, targets, probs)
                 except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
-                    attempted.add(str(bin_obj))
                     error_bins.append((bin_obj, e))
+            if agg is not None:
+                agg.flush()
             return new_done
 
         def refresh_agg_plots():

@@ -254,3 +254,87 @@ class TestWatchMultiHostSharding:
         assert outs[0] & outs[1] == set()
         assert outs[0] | outs[1] == {p + ".json" for p in pids}
         assert outs[0] and outs[1]  # 5 bins over 2 hosts: both get work
+
+
+class TestGobigAggregation:
+    """--gobig as real cross-bin batch aggregation (reference: one
+    aggregated Trainer run, neuston_net.py:261-271; here: shared full
+    canvas batches, per-bin files/errors preserved)."""
+
+    def _mkbins(self, root, n=3, rois=5):
+        pids = []
+        for b in range(n):
+            pid = f"D2024090{b + 1}T000000_IFCB900"
+            write_bin(str(root), pid,
+                      [make_roi(14 + b, 16, seed=b * 10 + r)
+                       for r in range(rois)], 2)
+            pids.append(pid)
+        return pids
+
+    def test_parity_with_per_bin_path(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        pids = self._mkbins(root)
+        out_a = str(tmp_path / "perbin")
+        out_b = str(tmp_path / "gobig")
+        do_run(run_args(str(root), ckpt, out_a))
+        do_run(run_args(str(root), ckpt, out_b, gobig=True))
+        assert sorted(os.listdir(out_a)) == sorted(os.listdir(out_b)) == \
+            [p + ".json" for p in pids]
+        for p in pids:
+            a = json.load(open(os.path.join(out_a, p + ".json")))
+            b = json.load(open(os.path.join(out_b, p + ".json")))
+            assert a["roi_numbers"] == b["roi_numbers"]
+            assert a["bin_id"] == b["bin_id"]
+            np.testing.assert_allclose(a["output_scores"],
+                                       b["output_scores"], atol=2e-5)
+
+    def test_fewer_dispatches_than_per_bin(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine, do_run
+        root = tmp_path / "bins"
+        self._mkbins(root, n=3, rois=5)  # 15 same-ladder ROIs, batch 8
+
+        counts = []
+
+        class CountingEngine(InferenceEngine):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                inner = self._run_batch
+                self.calls = 0
+                def counted(*args):
+                    self.calls += 1
+                    return inner(*args)
+                self._run_batch = counted
+
+        for gobig in (False, True):
+            eng = CountingEngine(ckpt, batch_size=8)
+            do_run(run_args(str(root), ckpt,
+                            str(tmp_path / f"out{gobig}"), gobig=gobig),
+                   engine=eng)
+            counts.append(eng.calls)
+        assert counts[1] < counts[0]  # 2 shared batches vs 3 per-bin ones
+
+    def test_corrupt_bin_isolated(self, ckpt, tmp_path, capsys):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        pids = self._mkbins(root, n=2)
+        bad = "D20240909T000000_IFCB900"
+        write_bin(str(root), bad, [make_roi(20, 20, 5)], 2)
+        roi = os.path.join(root, bad + ".roi")
+        with open(roi, "r+b") as f:
+            f.truncate(os.path.getsize(roi) // 4)  # byte ranges now OOB
+        out = str(tmp_path / "out")
+        do_run(run_args(str(root), ckpt, out, gobig=True))
+        assert sorted(os.listdir(out)) == [p + ".json" for p in pids]
+        printed = capsys.readouterr().out
+        assert bad in printed and "corrupt bin" in printed
+
+    def test_empty_and_v1_bins(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        # schema-v1 bin goes through the stitched fallback inside gobig
+        write_bin(str(root), "IFCB1_2024_100_000000",
+                  [make_roi(12, 12, 1), make_roi(9, 11, 2)], 1)
+        out = str(tmp_path / "out")
+        do_run(run_args(str(root), ckpt, out, gobig=True))
+        assert os.listdir(out) == ["IFCB1_2024_100_000000.json"]

@@ -338,3 +338,31 @@ class TestGobigAggregation:
         out = str(tmp_path / "out")
         do_run(run_args(str(root), ckpt, out, gobig=True))
         assert os.listdir(out) == ["IFCB1_2024_100_000000.json"]
+
+
+class TestWatchGobigCompose:
+    def test_watch_with_gobig_aggregates_per_pass(self, ckpt, tmp_path,
+                                                  monkeypatch):
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20241101T000000_IFCB900",
+                  [make_roi(12, 14, 1), make_roi(10, 10, 2)], 2)
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+            def time(self):
+                return real_time.time() + 1e6
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 1:
+                    write_bin(str(root), "D20241102T000000_IFCB900",
+                              [make_roi(11, 11, 3)], 2)
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                               watch_passes=3, gobig=True))
+        assert sorted(os.listdir(out)) == ["D20241101T000000_IFCB900.json",
+                                           "D20241102T000000_IFCB900.json"]

@@ -227,6 +227,13 @@ def argparse_nn_run(run):
                           "deferred until quiescent (the instrument may "
                           "still be writing them). Ctrl-C to stop. "
                           "Incompatible with --clobber.")
+    run.add_argument("--watch-settle", metavar="SECONDS", type=float,
+                     help="With --watch: how long a bin's files must be "
+                          "unchanged before it is classified (guards "
+                          "against bins still being written). Default: the "
+                          "watch interval. A bin that grows after "
+                          "classification is detected and reclassified on "
+                          "a later pass either way.")
     run.add_argument("--watch-passes", type=int, help=argparse.SUPPRESS)
     run.add_argument("--profile", metavar="N", default=0, type=int,
                      help="Capture a jax.profiler trace of the first N "

@@ -239,9 +239,12 @@ class _GobigAggregator:
         widths = adc["roiWidth"][keep].astype(np.int64)
         starts = adc["startByte"][keep].astype(np.int64)
         roi_buf = bin._roi_bytes
-        # whole-bin bounds check BEFORE enqueueing (predict_bin parity:
-        # a truncated .roi fails the bin loudly, never classifies garbage)
-        bad = np.nonzero(starts + heights * widths > roi_buf.size)[0]
+        # whole-bin bounds check BEFORE enqueueing, covering every condition
+        # the packer flags as (0,0) — negative start or out-of-range end
+        # (predict_bin parity: a truncated/corrupt bin fails loudly as a
+        # whole, never classifies garbage)
+        bad = np.nonzero((starts < 0) |
+                         (starts + heights * widths > roi_buf.size))[0]
         if bad.size:
             self.on_error(bin_obj, ValueError(
                 "corrupt bin: ROI byte range out of bounds for target(s) "
@@ -288,6 +291,11 @@ class _GobigAggregator:
             i = j
         canvas = np.concatenate([c for c, _ in frags], axis=0)
         sizes = np.concatenate([s for _, s in frags], axis=0)
+        if not (sizes[:len(items), 0] > 0).all():  # tripwire: add_bin
+            # validated every packer failure condition, so this is an
+            # invariant breach — fail loudly, never classify zeroed rows
+            raise RuntimeError("gobig: packer flagged ROI(s) that passed "
+                               "validation — refusing to classify")
         if len(items) < B:  # final-flush padding only
             canvas = np.concatenate(
                 [canvas, np.zeros((B - len(items), S, S), np.uint8)], axis=0)
@@ -309,8 +317,14 @@ class _GobigAggregator:
             if b["remaining"] == 0:
                 del self.bins[key]
                 ordered = sorted(b["rows"])
-                self.on_result(b["obj"], ordered,
-                               np.stack([b["rows"][t] for t in ordered]))
+                # contain on_result failures (a bad output path, a full
+                # disk) to THIS bin: sibling rows in the same batch keep
+                # routing and the run keeps its per-bin error isolation
+                try:
+                    self.on_result(b["obj"], ordered,
+                                   np.stack([b["rows"][t] for t in ordered]))
+                except Exception as e:
+                    self.on_error(b["obj"], e)
 
     def flush(self):
         """Dispatch all partial buckets and drain every in-flight batch."""
@@ -366,26 +380,44 @@ def do_run(args, engine=None):
 
     # --plot (the reference's reserved-but-TODO surface, neuston_net.py:413):
     # bin-templated FNAMEs render per bin; plain FNAMEs render one aggregate
-    # figure at end of run from compact (argmax, winscore) accumulators
+    # figure at end of run. Params and pattern/mode combinations are
+    # validated HERE, before any compute — render-time discovery would
+    # surface hours into a run.
     plot_files = getattr(args, "plot_files", None) or []
     perbin_plots = [pf for pf in plot_files
                     if "{BIN_" in pf[0] or "{INPUT_SUBDIRS}" in pf[0]]
     agg_plots = [pf for pf in plot_files if pf not in perbin_plots]
-    agg_classes, agg_winscores = [], []
     if plot_files:
-        from ..results.plots import save_run_plots
+        from ..results.plots import (SCORE_HIST_BINS, save_run_plots,
+                                     validate_plot_files)
+        validate_plot_files(plot_files, which="run", src_type=args.src_type)
+        # O(1)-memory aggregate accumulators (a --watch service runs for
+        # months; per-ROI lists would grow without bound)
+        agg_counts = np.zeros(len(engine.classes), np.int64)
+        agg_hist = np.zeros(SCORE_HIST_BINS, np.int64)
+    agg_total = 0
+
+    # --watch flag sanity is mode-independent: reject silently-ignored and
+    # silently-disabled spellings up front
+    watch = getattr(args, "watch", None)
+    if watch is not None and watch <= 0:
+        raise ValueError("--watch must be a positive number of seconds")
+    if watch and args.src_type != "bin":
+        raise ValueError("--watch requires --type bin")
 
     if args.src_type == "bin":
         # --watch: continuous serving mode (beyond-reference; the reference's
         # deployment story is batch SLURM jobs, neuston_sbatch.py). The
         # persistent jit engine classifies new bins as the instrument writes
         # them; skip-existing semantics make each pass idempotent.
-        watch = getattr(args, "watch", None)
         if watch and getattr(args, "clobber", False):
             raise ValueError("--watch and --clobber are mutually exclusive "
                              "(clobber would reclassify every bin each pass)")
         if watch and not os.path.isdir(args.SRC):
             raise ValueError("--watch requires SRC to be a bin directory")
+        # quiescence window: a bin whose files changed within the last
+        # `settle` seconds may still be mid-acquisition — defer it
+        settle = float(getattr(args, "watch_settle", None) or watch or 0)
 
         def make_dd():
             """(Re)scan SRC — per pass under --watch so new bins appear."""
@@ -419,7 +451,22 @@ def do_run(args, engine=None):
 
         error_bins = []
         n_done = 0
-        attempted = set()  # pids already processed/failed this session
+        # failed bins retry with exponential backoff (in passes) instead of
+        # being frozen for the session — a transient NFS hiccup in a months-
+        # long --watch service must not become a permanent data gap, while a
+        # permanently corrupt bin must not hot-loop every pass
+        fail_retry = {}  # pid str -> (n_fails, earliest retry pass)
+        pass_no = 0
+
+        def record_error(bin_obj, e):
+            error_bins.append((bin_obj, e))
+            n = fail_retry.get(str(bin_obj), (0, 0))[0] + 1
+            fail_retry[str(bin_obj)] = (n, pass_no + min(2 ** n, 64))
+            if watch:  # surface immediately — exit-time reports don't exist
+                # for a service that never exits
+                print("\n{} FAILED ({}: {}) — retry in {} pass(es)".format(
+                    bin_obj, type(e).__name__, e, min(2 ** n, 64)),
+                    flush=True)
 
         # --profile N: jax.profiler trace of the first N classified bins
         # (SURVEY.md §5.1 — observability on the deployment path too)
@@ -455,7 +502,7 @@ def do_run(args, engine=None):
                 """Write files/plots for one completed bin (called directly
                 on the per-bin path, or by the gobig aggregator whenever a
                 bin's last ROI returns)."""
-                nonlocal n_done, new_done
+                nonlocal n_done, new_done, agg_total, agg_counts, agg_hist
                 input_images = [bin_obj.with_target(t) for t in targets]
                 for outfile in args.outfile:
                     save_run_results(input_images, probs, engine.classes,
@@ -475,8 +522,11 @@ def do_run(args, engine=None):
                             output_classes=cls, winscores=win,
                             title=str(bin_obj.pid))
                     if agg_plots:
-                        agg_classes.append(cls)
-                        agg_winscores.append(win)
+                        agg_counts += np.bincount(
+                            cls, minlength=len(engine.classes))
+                        agg_hist += np.histogram(
+                            win, bins=SCORE_HIST_BINS, range=(0, 1))[0]
+                        agg_total += len(cls)
                 n_done += 1
                 new_done += 1
                 maybe_profile()
@@ -485,8 +535,7 @@ def do_run(args, engine=None):
             # --gobig: cross-bin batch aggregation (neuston_net.py:261-271
             # role) — small bins stop wasting pad slots; files/errors stay
             # per-bin via the callbacks
-            agg = (engine.gobig(emit_result,
-                                lambda o, e: error_bins.append((o, e)))
+            agg = (engine.gobig(emit_result, record_error)
                    if getattr(args, "gobig", False) else None)
 
             for bin_no, bin in enumerate(make_dd()):
@@ -496,7 +545,8 @@ def do_run(args, engine=None):
                 bin_obj = bin.pid
                 if proc_cnt > 1 and bin_shard_key(bin_no, bin_obj) != proc_idx:
                     continue
-                if str(bin_obj) in attempted:
+                fr = fail_retry.get(str(bin_obj))
+                if fr and pass_no < fr[1]:  # failed earlier; still backing off
                     continue
 
                 if args.filter:  # keyword filter on the pid (neuston_net.py:236-240)
@@ -507,15 +557,19 @@ def do_run(args, engine=None):
                             k in str(bin_obj) for k in filter_keywords):
                         continue
 
+                newest = 0.0
                 if watch:
                     # quiescence gate: the instrument writes .adc/.roi/.hdr
                     # incrementally — don't classify a bin still being
-                    # written; it is picked up on a later pass once its files
-                    # have been stable for a full watch interval
+                    # written; defer until its files have been stable for a
+                    # full settle window (--watch-settle, default the watch
+                    # interval). A bin misjudged complete still self-heals:
+                    # the staleness check below reclassifies it once it
+                    # grows past its outputs.
                     newest = max((os.path.getmtime(p) for p in
                                   (bin.adc_path, bin.roi_path, bin.hdr_path)
                                   if os.path.isfile(p)), default=0)
-                    if time.time() - newest < watch:
+                    if time.time() - newest < settle:
                         continue
 
                 if not args.clobber:
@@ -529,35 +583,40 @@ def do_run(args, engine=None):
                         if not watch:
                             print("{} result-file(s) already exist - skipping "
                                   "this bin".format(bin_obj))
-                        attempted.add(str(bin_obj))
-                        continue
+                            continue
+                        # watch: outputs older than the bin's newest file
+                        # mean the bin GREW after classification (writes
+                        # resumed post-settle) — reclassify; fresh outputs
+                        # skip as usual
+                        if min(os.path.getmtime(o) for o in ofiles) >= newest:
+                            continue
 
                 try:
                     maybe_profile()
-                    attempted.add(str(bin_obj))
                     if agg is not None:
                         agg.add_bin(bin, bin_obj)
                         continue
                     targets, probs = engine.predict_bin(bin)
                     if not targets:
-                        error_bins.append((bin_obj,
-                                           AssertionError("Bin is Empty")))
+                        record_error(bin_obj, AssertionError("Bin is Empty"))
                         continue
                     emit_result(bin_obj, targets, probs)
                 except Exception as e:  # per-bin isolation (neuston_net.py:266-268)
-                    error_bins.append((bin_obj, e))
+                    record_error(bin_obj, e)
             if agg is not None:
-                agg.flush()
+                try:
+                    agg.flush()
+                except Exception as e:  # systemic, not per-bin — record once
+                    record_error("<gobig flush>", e)
             return new_done
 
         def refresh_agg_plots():
-            if agg_plots and agg_classes:
+            if agg_plots and agg_total:
                 for fname, *plot_params in agg_plots:
                     save_run_plots(
                         os.path.join(args.outdir, fname), plot_params,
-                        class_labels=engine.classes,
-                        output_classes=np.concatenate(agg_classes),
-                        winscores=np.concatenate(agg_winscores),
+                        class_labels=engine.classes, counts=agg_counts,
+                        score_hist=agg_hist, total=agg_total,
                         title="{} ({} bins)".format(args.RUN_ID, n_done))
 
         if not watch:
@@ -565,15 +624,14 @@ def do_run(args, engine=None):
             refresh_agg_plots()
         else:
             max_passes = getattr(args, "watch_passes", None)  # test hook
-            passes = 0
             print("Watching {} every {:g}s (Ctrl-C to stop)".format(
                 args.SRC, watch), flush=True)
             try:
                 while True:
                     if run_pass():
                         refresh_agg_plots()
-                    passes += 1
-                    if max_passes and passes >= max_passes:
+                    pass_no += 1
+                    if max_passes and pass_no >= max_passes:
                         break
                     time.sleep(watch)
             except KeyboardInterrupt:
@@ -603,9 +661,6 @@ def do_run(args, engine=None):
         for outfile in args.outfile:
             save_run_results(paths, probs, engine.classes, args.cmd_timestamp,
                              args.outdir, outfile, engine.model_id, args.SRC)
-        if perbin_plots:
-            raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "
-                             "available with --type img")
         for fname, *plot_params in agg_plots:
             save_run_plots(os.path.join(args.outdir, fname), plot_params,
                            class_labels=engine.classes,

@@ -45,28 +45,31 @@ _SERIES_2 = "#eb6834"  # orange — second series on two-line charts
 _SEQ_CMAP = "Blues"    # sequential = one hue, light→dark
 
 
-def _plt():
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    # recessive axes/grid: marks carry the data, chrome stays in the background
-    plt.rcParams.update({
-        "axes.spines.top": False, "axes.spines.right": False,
-        "axes.grid": True, "grid.color": "#e3e2dd", "grid.linewidth": 0.6,
-        "axes.axisbelow": True, "axes.edgecolor": "#52514e",
-        "text.color": "#0b0b0b", "axes.labelcolor": "#52514e",
-        "xtick.color": "#52514e", "ytick.color": "#52514e",
-        "figure.facecolor": "#fcfcfb", "axes.facecolor": "#fcfcfb",
-        "legend.frameon": False,
-    })
-    return plt
+# recessive axes/grid: marks carry the data, chrome stays in the background.
+# Applied per-figure via rc_context — this module NEVER mutates global
+# matplotlib state (no matplotlib.use, no global rcParams, no pyplot
+# figure registry), so library embedders keep their backend and styling.
+_RC = {
+    "axes.spines.top": False, "axes.spines.right": False,
+    "axes.grid": True, "grid.color": "#e3e2dd", "grid.linewidth": 0.6,
+    "axes.axisbelow": True, "axes.edgecolor": "#52514e",
+    "text.color": "#0b0b0b", "axes.labelcolor": "#52514e",
+    "xtick.color": "#52514e", "ytick.color": "#52514e",
+    "figure.facecolor": "#fcfcfb", "axes.facecolor": "#fcfcfb",
+    "legend.frameon": False,
+}
 
 
-def _grid(plt, n):
+def _make_fig(n):
+    """(fig, axes[n]) built directly on matplotlib.figure.Figure — no
+    pyplot, no backend switch; Figure.savefig picks the right non-
+    interactive canvas per extension."""
+    from matplotlib.figure import Figure
+
     ncols = 1 if n == 1 else 2
     nrows = -(-n // ncols)
-    fig, axes = plt.subplots(nrows, ncols,
-                             figsize=(7.5 * ncols, 5.5 * nrows), squeeze=False)
+    fig = Figure(figsize=(7.5 * ncols, 5.5 * nrows))
+    axes = fig.subplots(nrows, ncols, squeeze=False)
     flat = [ax for row in axes for ax in row]
     for ax in flat[n:]:
         ax.set_visible(False)
@@ -118,13 +121,30 @@ def save_training_plots(outfile, params, *, epoch_rows, class_labels,
         raise ValueError("unknown plot param(s) {}; choose from {}".format(
             unknown, TRAIN_PLOT_PARAMS))
 
+    import matplotlib
+    with matplotlib.rc_context(_RC):
+        fig, axes = _make_fig(len(params))
+        _draw_training_panels(params, axes, epoch_rows, class_labels,
+                              input_classes, output_scores, counts_perclass,
+                              metrics)
+        title = "validation plots"
+        if model_id:
+            title = "{} — {}".format(model_id, title)
+        if epoch is not None:
+            title += " (epoch {})".format(epoch)
+        fig.suptitle(title)
+        fig.tight_layout(rect=(0, 0, 1, 0.96))
+        os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
+        fig.savefig(outfile)
+
+
+def _draw_training_panels(params, axes, epoch_rows, class_labels,
+                          input_classes, output_scores, counts_perclass,
+                          metrics):
     output_scores = np.asarray(output_scores)
     input_classes = np.asarray(input_classes)
     output_classes = np.argmax(output_scores, axis=1)
     class_idxs = list(range(len(class_labels)))
-
-    plt = _plt()
-    fig, axes = _grid(plt, len(params))
     epochs = [r["epoch"] for r in epoch_rows]
     for p, ax in zip(params, axes):
         if p == "curves":
@@ -169,26 +189,22 @@ def save_training_plots(outfile, params, *, epoch_rows, class_labels,
             ax.set_xlabel("winning softmax score")
             ax.set_ylabel("validation images")
             ax.set_title("winning-score distribution")
-    title = "validation plots"
-    if model_id:
-        title = "{} — {}".format(model_id, title)
-    if epoch is not None:
-        title += " (epoch {})".format(epoch)
-    fig.suptitle(title)
-    fig.tight_layout(rect=(0, 0, 1, 0.96))
-    os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
-    fig.savefig(outfile)
-    plt.close(fig)
 
 
-def save_run_plots(outfile, params, *, class_labels, output_classes,
-                   winscores, title=None):
+SCORE_HIST_BINS = 50  # fixed histogram resolution for aggregate accumulators
+
+
+def save_run_plots(outfile, params, *, class_labels, output_classes=None,
+                   winscores=None, counts=None, score_hist=None, total=None,
+                   title=None):
     """Render the requested RUN plot panels (one figure) at `outfile`.
 
-    output_classes / winscores: per-ROI argmax class index and winning
-    softmax score for the ROIs covered by this figure (one bin, or the whole
-    run when aggregating) — compact so an aggregate over a million-ROI run
-    never holds the full [N, n_classes] score matrix.
+    Two input forms:
+      * raw per-ROI arrays: output_classes (argmax idx) + winscores — the
+        per-bin case;
+      * fixed-size accumulators: counts [n_classes] + score_hist
+        [SCORE_HIST_BINS] + total — the run-forever aggregate case, O(1)
+        memory no matter how many ROIs have streamed through.
     """
     params = list(params) or list(DEFAULT_RUN_PLOTS)
     unknown = [p for p in params if p not in RUN_PLOT_PARAMS]
@@ -196,23 +212,46 @@ def save_run_plots(outfile, params, *, class_labels, output_classes,
         raise ValueError("unknown plot param(s) {}; choose from {}".format(
             unknown, RUN_PLOT_PARAMS))
 
-    output_classes = np.asarray(output_classes)
-    winscores = np.asarray(winscores)
+    if counts is None:
+        output_classes = np.asarray(output_classes)
+        counts = np.bincount(output_classes, minlength=len(class_labels))
+        total = len(output_classes)
+    if score_hist is None and winscores is not None:
+        score_hist = np.histogram(np.asarray(winscores),
+                                  bins=SCORE_HIST_BINS, range=(0, 1))[0]
 
-    plt = _plt()
-    fig, axes = _grid(plt, len(params))
-    for p, ax in zip(params, axes):
-        if p == "counts":
-            counts = np.bincount(output_classes, minlength=len(class_labels))
-            _barh_perclass(ax, class_labels, counts,
-                           "classified ROIs per class")
-        elif p == "scores":
-            ax.hist(winscores, bins=50, range=(0, 1), color=_SERIES_1)
-            ax.set_xlabel("winning softmax score")
-            ax.set_ylabel("ROIs")
-            ax.set_title("winning-score distribution")
-    fig.suptitle(title or "run plots ({} ROIs)".format(len(output_classes)))
-    fig.tight_layout(rect=(0, 0, 1, 0.95))
-    os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
-    fig.savefig(outfile)
-    plt.close(fig)
+    import matplotlib
+    with matplotlib.rc_context(_RC):
+        fig, axes = _make_fig(len(params))
+        for p, ax in zip(params, axes):
+            if p == "counts":
+                _barh_perclass(ax, class_labels, counts,
+                               "classified ROIs per class")
+            elif p == "scores":
+                edges = np.linspace(0, 1, SCORE_HIST_BINS + 1)
+                ax.bar(edges[:-1], score_hist, width=np.diff(edges),
+                       align="edge", color=_SERIES_1)
+                ax.set_xlabel("winning softmax score")
+                ax.set_ylabel("ROIs")
+                ax.set_title("winning-score distribution")
+        fig.suptitle(title or "run plots ({} ROIs)".format(total))
+        fig.tight_layout(rect=(0, 0, 1, 0.95))
+        os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
+        fig.savefig(outfile)
+
+
+def validate_plot_files(plot_files, *, which, src_type=None):
+    """Fail fast at startup (before any compute) on unknown plot params or
+    an invalid FNAME-pattern/mode combination — render-time discovery would
+    surface hours into a run (or mid-training)."""
+    allowed = TRAIN_PLOT_PARAMS if which == "train" else RUN_PLOT_PARAMS
+    for pf in plot_files or []:
+        fname, params = pf[0], pf[1:]
+        unknown = [p for p in params if p not in allowed]
+        if unknown:
+            raise ValueError("--plot {}: unknown plot param(s) {}; choose "
+                             "from {}".format(fname, unknown, allowed))
+        if which == "run" and src_type == "img" and (
+                "{BIN_" in fname or "{INPUT_SUBDIRS}" in fname):
+            raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "
+                             "available with --type img")

@@ -92,6 +92,12 @@ def do_training(args):
                                          TRAIN_ID=args.TRAIN_ID)
     os.makedirs(args.outdir, exist_ok=True)
 
+    # validate --plot params BEFORE training starts (a bad param must not
+    # abort hours into the run at the first best-epoch render)
+    if getattr(args, "plot_files", None):
+        from ..results.plots import validate_plot_files
+        validate_plot_files(args.plot_files, which="train")
+
     args.seed = seed_everything(args.seed)
 
     # Datasets + manifests (neuston_net.py:68-75)

@@ -5,6 +5,7 @@ single bin, IN/OUT filters, clobber/skip, {epoch} results patterns."""
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -366,3 +367,130 @@ class TestWatchGobigCompose:
                                watch_passes=3, gobig=True))
         assert sorted(os.listdir(out)) == ["D20241101T000000_IFCB900.json",
                                            "D20241102T000000_IFCB900.json"]
+
+
+class TestReviewHardening:
+    """Fixes from the round-2 code review: per-bin containment of write
+    failures under --gobig, watch staleness self-healing, failure backoff,
+    upfront flag validation, no global matplotlib mutation."""
+
+    def test_gobig_write_failure_contained_per_bin(self, ckpt, tmp_path,
+                                                   monkeypatch, capsys):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        pids = [f"D2024120{i}T000000_IFCB900" for i in (1, 2, 3)]
+        for i, p in enumerate(pids):
+            write_bin(str(root), p, [make_roi(12, 14, i)], 2)
+        real_save = runner.save_run_results
+
+        def failing_save(input_images, *a, **kw):
+            if pids[1] in str(input_images[0]):
+                raise OSError("disk full (simulated)")
+            return real_save(input_images, *a, **kw)
+
+        monkeypatch.setattr(runner, "save_run_results", failing_save)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, gobig=True))
+        assert sorted(os.listdir(out)) == [pids[0] + ".json",
+                                           pids[2] + ".json"]
+        printed = capsys.readouterr().out
+        assert pids[1] in printed and "disk full" in printed
+
+    def test_watch_reclassifies_grown_bin(self, ckpt, tmp_path, monkeypatch):
+        """A bin classified prematurely (acquisition paused longer than the
+        settle window) self-heals: when it grows, outputs are stale and the
+        next pass reclassifies."""
+        import json as _json
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        pid = "D20241211T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(12, 14, 1)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1))
+        first = _json.load(open(os.path.join(out, pid + ".json")))
+        assert len(first["roi_numbers"]) == 1
+        # the bin grows (more ROIs arrive): bin files end up NEWER than the
+        # output yet older than the settle window (acquisition resumed after
+        # a pause, then finished)
+        write_bin(str(root), pid, [make_roi(12, 14, 1), make_roi(10, 10, 2),
+                                   make_roi(9, 9, 3)], 2)
+        bin_t = time.time() - 4000   # quiescent (> 3600s settle)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (bin_t, bin_t))
+        out_t = time.time() - 7200   # output predates the bin's growth
+        os.utime(os.path.join(out, pid + ".json"), (out_t, out_t))
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1))
+        second = _json.load(open(os.path.join(out, pid + ".json")))
+        assert len(second["roi_numbers"]) == 3
+
+    def test_watch_failed_bin_retried_with_backoff(self, ckpt, tmp_path,
+                                                   monkeypatch, capsys):
+        """A bin that fails transiently is retried after backoff, not frozen
+        for the session."""
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        pid = "D20241212T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(16, 16, 1)], 2)
+        # corrupt: truncate .roi so the first attempts fail
+        roi = os.path.join(root, pid + ".roi")
+        good = open(roi, "rb").read()
+        with open(roi, "wb") as f:
+            f.write(good[:4])
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+
+        calls = {"n": 0}
+        def sleep(s):
+            calls["n"] += 1
+            if calls["n"] == 2:  # heal the bin between passes 2 and 3
+                with open(roi, "wb") as fh:
+                    fh.write(good)
+                old = 1
+                for f in os.listdir(root):
+                    os.utime(os.path.join(root, f), (old, old))
+        monkeypatch.setattr(runner.time, "sleep", sleep)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=5))
+        assert os.listdir(out) == [pid + ".json"]
+        assert "FAILED" in capsys.readouterr().out  # surfaced immediately
+
+    def test_watch_rejected_in_img_mode_and_nonpositive(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"a": 2},
+                                         size=(30, 30))
+        with pytest.raises(ValueError, match="requires --type bin"):
+            do_run(run_args(src, ckpt, str(tmp_path / "o1"), src_type="img",
+                            outfile=["r.json"], watch=60.0))
+        with pytest.raises(ValueError, match="positive"):
+            do_run(run_args(src, ckpt, str(tmp_path / "o2"), watch=0.0))
+
+    def test_plot_params_validated_before_compute(self, ckpt, tmp_path,
+                                                  monkeypatch):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20241213T000000_IFCB900",
+                  [make_roi(10, 10, 1)], 2)
+        called = {"n": 0}
+        monkeypatch.setattr(
+            runner.InferenceEngine, "predict_bin",
+            lambda self, b: called.__setitem__("n", called["n"] + 1))
+        with pytest.raises(ValueError, match="unknown plot param"):
+            runner.do_run(run_args(str(root), ckpt, str(tmp_path / "out"),
+                                   plot_files=[["x.png", "confusion"]]))
+        assert called["n"] == 0  # failed before any inference
+
+    def test_no_global_matplotlib_mutation(self, tmp_path):
+        import matplotlib
+        before_backend = matplotlib.get_backend()
+        before_grid = matplotlib.rcParams["axes.grid"]
+        from ifcb_classifier_tpu.results.plots import save_run_plots
+        save_run_plots(str(tmp_path / "p.png"), [], class_labels=["a", "b"],
+                       output_classes=[0, 1, 1], winscores=[.9, .5, .7])
+        assert matplotlib.get_backend() == before_backend
+        assert matplotlib.rcParams["axes.grid"] == before_grid

@@ -62,3 +62,46 @@ def test_inference_engine_dp8(tmp_path):
     direct = engine.predict_images([make_roi(20 + i, 30, i)
                                     for i in range(10)])
     np.testing.assert_allclose(probs, direct, atol=1e-4)
+
+
+def test_gobig_aggregator_dp8(tmp_path):
+    """Cross-bin gobig batches through the 8-device sharded engine: shared
+    batches stay device-divisible (engine rounds batch up; flush pads) and
+    per-bin results match the per-bin path."""
+    import jax
+    import jax.numpy as jnp
+    from ifcb_classifier_tpu.data.ifcb import Bin
+    from ifcb_classifier_tpu.infer.runner import InferenceEngine
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+    from ifcb_classifier_tpu.train.state import create_train_state
+
+    model = get_namebrand_model("squeezenet", 3, dtype=jnp.float32)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+    ckpt = str(tmp_path / "m.ptl")
+    save_checkpoint(ckpt, state.params, state.batch_stats,
+                    dict(MODEL="squeezenet", classes=["a", "b", "c"],
+                         resize=32, model_id="m", seed=1, img_norm=None))
+    bins = []
+    for b in range(3):
+        base = write_bin(str(tmp_path), f"D2024030{b + 2}T000000_IFCB900",
+                         [make_roi(18 + i, 22, b * 10 + i) for i in range(5)],
+                         2)
+        bins.append(Bin(base + ".adc"))
+
+    engine = InferenceEngine(ckpt, batch_size=6, dtype=jnp.float32)
+    assert engine.batch_size == 8
+
+    results, errors = {}, []
+    agg = engine.gobig(lambda obj, t, p: results.__setitem__(obj, (t, p)),
+                       lambda obj, e: errors.append((obj, e)))
+    for bn in bins:
+        agg.add_bin(bn, bn.pid.pid)
+    agg.flush()
+    assert not errors
+    assert len(results) == 3
+    for bn in bins:
+        t_ref, p_ref = engine.predict_bin(bn)
+        t_agg, p_agg = results[bn.pid.pid]
+        assert t_agg == t_ref
+        np.testing.assert_allclose(p_agg, p_ref, atol=1e-4)

@@ -38,7 +38,7 @@ def main():
         outdir = os.path.join(outdir_base, f"rank{rank}")
         from ifcb_classifier_tpu.train.loop import do_training
         do_training(make_args(src, outdir, emax=2, seed=5, batch_size=8))
-    elif mode == "run":
+    elif mode in ("run", "run_gobig"):
         import argparse
         src, ckpt, outdir = sys.argv[5], sys.argv[6], sys.argv[7]
         from ifcb_classifier_tpu.infer.runner import do_run
@@ -46,6 +46,7 @@ def main():
             cmd_mode="RUN", SRC=src, MODEL=ckpt, RUN_ID="mp",
             src_type="bin", outdir=outdir, outfile=None, filter=None,
             clobber=False, batch_size=8, loaders=2,
+            gobig=(mode == "run_gobig"),
             cmd_timestamp="2026-08-16T00:00:00+00:00", version="test")
         do_run(args)
     else:

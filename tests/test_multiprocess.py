@@ -129,3 +129,32 @@ class TestRun2Proc:
                 if "RUN IS DONE" in line:
                     done.append(int(line.split("(")[1].split()[0]))
         assert sum(done) == 3 and all(d >= 1 for d in done), (done, outs)
+
+
+class TestRunGobig2Proc:
+    def test_gobig_sharded_across_ranks_cover_all(self, corpus, tmp_path):
+        """--gobig composes with the multi-host bin sharding: each rank
+        aggregates only its own bins; union of outputs covers everything."""
+        root, src = corpus
+        ckpt = glob.glob(os.path.join(root, "train_out", "rank0", "*.ptl"))
+        if not ckpt:
+            pytest.skip("needs the 2-proc train artifact")
+        bins_dir = str(tmp_path / "bins" / "D20230102")
+        os.makedirs(bins_dir)
+        pids = [f"D20230102T12000{k}_IFCB111" for k in range(4)]
+        for k, pid in enumerate(pids):
+            write_bin(bins_dir, pid,
+                      [make_roi(14 + k, 18, s) for s in range(3 + k)],
+                      schema=2)
+        outdir = str(tmp_path / "runout")
+        outs = _launch(2, "run_gobig", str(tmp_path / "bins"), ckpt[0],
+                       outdir)
+        produced = sorted(os.path.basename(p) for p in glob.glob(
+            os.path.join(outdir, "**", "*_class.h5"), recursive=True))
+        assert produced == sorted(p + "_class.h5" for p in pids)
+        done = []
+        for out in outs:
+            for line in out.splitlines():
+                if "RUN IS DONE" in line:
+                    done.append(int(line.split("(")[1].split()[0]))
+        assert sum(done) == 4, (done, outs)

@@ -117,3 +117,67 @@ class TestDataDirectory:
         self._make_three(tmp_path)
         (tmp_path / "D20220101T000000_IFCB900.adc").write_text("0,0\n")
         assert len(DataDirectory(str(tmp_path))) == 3
+
+
+class TestAdcEdgeCases:
+    """Instrument-reality edge cases for the first-party ADC parser
+    (pyifcb-replacement robustness; reference got these via pyifcb)."""
+
+    def _cols(self, n):
+        from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2
+        return ADC_COLUMNS_V2, len(ADC_COLUMNS_V2)
+
+    def _row(self, trigger, x, y, w, h, start):
+        from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2
+        vals = ["0"] * len(ADC_COLUMNS_V2)
+        for name, v in [("trigger", trigger), ("roiX", x), ("roiY", y),
+                        ("roiWidth", w), ("roiHeight", h),
+                        ("startByte", start)]:
+            vals[ADC_COLUMNS_V2.index(name)] = str(v)
+        return ",".join(vals)
+
+    def test_crlf_and_trailing_blank_lines(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import SCHEMA_VERSION_2, parse_adc
+        p = str(tmp_path / "a.adc")
+        body = "\r\n".join([self._row(1, 0, 0, 4, 5, 0),
+                            self._row(2, 1, 1, 3, 3, 20)]) + "\r\n\r\n\r\n"
+        open(p, "w", newline="").write(body)
+        adc = parse_adc(p, SCHEMA_VERSION_2)
+        assert list(adc["roiWidth"]) == [4, 3]
+        assert list(adc["startByte"]) == [0, 20]
+
+    def test_scientific_notation_values(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import SCHEMA_VERSION_2, parse_adc
+        p = str(tmp_path / "a.adc")
+        open(p, "w").write(
+            self._row("1.000000e+00", 0, 0, "4.0e0", "5.000000e+00",
+                      "1.2e+01") + "\n")
+        adc = parse_adc(p, SCHEMA_VERSION_2)
+        assert list(adc["roiHeight"]) == [5]
+        assert list(adc["startByte"]) == [12]
+
+    def test_whitespace_padded_fields(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import SCHEMA_VERSION_2, parse_adc
+        p = str(tmp_path / "a.adc")
+        row = self._row(1, 0, 0, 7, 2, 5).replace(",", " , ")
+        open(p, "w").write(row + "\n")
+        adc = parse_adc(p, SCHEMA_VERSION_2)
+        assert list(adc["roiWidth"]) == [7]
+
+    def test_zero_row_adc_is_empty_bin(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        base = str(tmp_path / "D20240101T000000_IFCB900")
+        open(base + ".adc", "w").write("")
+        open(base + ".roi", "wb").write(b"")
+        open(base + ".hdr", "w").write("")
+        b = Bin(base + ".adc")
+        assert len(b.images) == 0
+
+    def test_ragged_row_fails_loudly_not_silently(self, tmp_path):
+        """A row with missing columns must raise (so RUN's per-bin trap
+        reports it), never silently mis-assign columns."""
+        from ifcb_classifier_tpu.data.ifcb import SCHEMA_VERSION_2, parse_adc
+        p = str(tmp_path / "a.adc")
+        open(p, "w").write("1,2,3\n")  # far fewer columns than the schema
+        with pytest.raises(Exception):
+            parse_adc(p, SCHEMA_VERSION_2)

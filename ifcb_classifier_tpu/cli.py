@@ -98,6 +98,10 @@ def argparse_nn_train(train):
                       help="Limit classes to a MAX number of instances. ")
     data.add_argument("--swap", default=False, action="store_true",
                       help=argparse.SUPPRESS)
+    data.add_argument("--cache-images", default=False, action="store_true",
+                      help="Keep decoded images in RAM after the first "
+                           "epoch (epochs 2+ skip image decoding entirely; "
+                           "memory cost ~ the decoded dataset size)")
     data.add_argument("--balanced", default=False, action="store_true",
                       help="Class-balanced sampling (with replacement, "
                            "inverse-frequency weights) for the training "

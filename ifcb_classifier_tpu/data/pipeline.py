@@ -93,7 +93,7 @@ class HostLoader:
 
     def __init__(self, items, labels=None, batch_size=108, num_workers=4,
                  shuffle=False, seed=0, rgb=True, balanced=False,
-                 n_real=None):
+                 n_real=None, cache=False):
         self.items = list(items)
         self.labels = list(labels) if labels is not None else None
         # items[n_real:] are multi-host manifest pads (shard_manifest):
@@ -106,14 +106,28 @@ class HostLoader:
         self.seed = seed
         self.rgb = rgb
         self.balanced = balanced and labels is not None
+        # --cache-images: keep decoded uint8 arrays in RAM after the first
+        # epoch — the reference re-decodes every image every epoch in its
+        # loader workers (neuston_data.py:257-263, the classic input
+        # bottleneck); epochs 2+ skip PIL entirely. Opt-in (memory ~ the
+        # decoded dataset size). ndarray items (bin ROIs) are already
+        # in-memory and bypass the cache.
+        self._decoded = {} if cache else None
         self._epoch = 0
 
     def __len__(self):
         return (len(self.items) + self.batch_size - 1) // self.batch_size
 
-    def _materialize(self, item):
+    def _materialize(self, i):
+        item = self.items[i]
         if isinstance(item, np.ndarray):
             return item
+        if self._decoded is not None:
+            img = self._decoded.get(i)
+            if img is None:  # races only duplicate a decode, never corrupt
+                img = decode_image(item, rgb=self.rgb)
+                self._decoded[i] = img
+            return img
         return decode_image(item, rgb=self.rgb)
 
     def __iter__(self):
@@ -137,8 +151,7 @@ class HostLoader:
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for start in range(0, len(order), B):
                 idx = order[start:start + B]
-                images = list(pool.map(self._materialize,
-                                       (self.items[i] for i in idx)))
+                images = list(pool.map(self._materialize, idx))
                 # pad short batches by CYCLING real images, not zeros:
                 # masked rows are excluded from loss/metrics, but BatchNorm
                 # statistics see every row — zero images would poison them

@@ -135,16 +135,17 @@ def do_training(args):
         tr_items, tr_labels, tr_real = shard_manifest(tr_items, tr_labels)
         va_items, va_labels, va_real = shard_manifest(va_items, va_labels)
         local_batch = -(-args.batch_size // n_proc)
+    cache_images = getattr(args, "cache_images", False)
     train_loader = HostLoader(tr_items, tr_labels,
                               batch_size=local_batch,
                               num_workers=args.loaders, shuffle=True,
                               seed=args.seed + jax.process_index(),
                               balanced=getattr(args, "balanced", False),
-                              n_real=tr_real)
+                              n_real=tr_real, cache=cache_images)
     val_loader = HostLoader(va_items, va_labels,
                             batch_size=local_batch,
                             num_workers=args.loaders, shuffle=False,
-                            n_real=va_real)
+                            n_real=va_real, cache=cache_images)
 
     # Model + state
     print(f"Initializing {args.MODEL} ({len(args.classes)} classes, "

@@ -4,6 +4,8 @@ class-min/max, class-config CSV, dataset-config CSV."""
 import argparse
 import os
 
+import numpy as np
+
 import pytest
 
 from ifcb_classifier_tpu.data.datasets import (
@@ -126,3 +128,41 @@ class TestHelpers:
         lst = tmp_path / "imgs.txt"
         lst.write_text("\n".join(paths) + "\nnot_an_image.xyz\n")
         assert list_image_paths(str(lst)) == paths
+
+
+class TestImageCache:
+    """--cache-images: decoded arrays are reused after epoch 1 (the
+    reference re-decodes every image every epoch, neuston_data.py:257-263)."""
+
+    def test_decodes_once_across_epochs(self, tmp_path, monkeypatch):
+        from fixtures import write_image_folder_dataset
+        from ifcb_classifier_tpu.data import pipeline
+        src = write_image_folder_dataset(str(tmp_path / "ds"), {"a": 7},
+                                         size=(24, 20))
+        paths = sorted(str(p) for p in (tmp_path / "ds" / "a").iterdir())
+        calls = {"n": 0}
+        real = pipeline.decode_image
+        def counting(path, rgb):
+            calls["n"] += 1
+            return real(path, rgb=rgb)
+        monkeypatch.setattr(pipeline, "decode_image", counting)
+
+        cached = pipeline.HostLoader(paths, [0] * 7, batch_size=4, cache=True)
+        out1 = [b["canvas"].copy() for b in cached]
+        n_first = calls["n"]
+        out2 = [b["canvas"].copy() for b in cached]
+        assert n_first == 7
+        assert calls["n"] == n_first  # epoch 2: zero decodes
+        for a, b in zip(out1, out2):
+            np.testing.assert_array_equal(a, b)
+
+        calls["n"] = 0
+        uncached = pipeline.HostLoader(paths, [0] * 7, batch_size=4)
+        list(uncached); list(uncached)
+        assert calls["n"] == 14  # re-decoded every epoch without the flag
+
+    def test_cli_flag(self):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        a = argparse_nn().parse_args(["TRAIN", "s", "resnet18", "i",
+                                      "--cache-images"])
+        assert a.cache_images is True

@@ -158,3 +158,29 @@ class TestRunGobig2Proc:
                 if "RUN IS DONE" in line:
                     done.append(int(line.split("(")[1].split()[0]))
         assert sum(done) == 4, (done, outs)
+
+
+class TestTrain4Proc:
+    def test_validation_gather_heavy_padding_p4(self, corpus, tmp_path):
+        """P=4 over a ~4-item validation split: most ranks carry manifest
+        pads (the round-1 ADVICE crash shape was N=10,P=4) — coverage must
+        still be exact-once and ranks must agree bit-for-bit."""
+        root, src = corpus
+        outdir_base = str(tmp_path / "train4")
+        _launch(4, "train", src, outdir_base)
+        per_rank = {}
+        for r in range(4):
+            outdir = os.path.join(outdir_base, f"rank{r}")
+            with open(os.path.join(outdir, "validation_images.list")) as f:
+                val_list = sorted(os.path.splitext(os.path.basename(p))[0]
+                                  for p in f.read().splitlines() if p)
+            with open(os.path.join(outdir, "results.json")) as f:
+                results = json.load(f)
+            got = sorted(os.path.basename(p)
+                         for p in results["image_basenames"])
+            assert got == val_list, f"rank {r} coverage mismatch"
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                per_rank[r] = (list(csv.DictReader(f)),
+                               results["output_scores"])
+        for r in range(1, 4):
+            assert per_rank[r] == per_rank[0], f"rank {r} diverged"

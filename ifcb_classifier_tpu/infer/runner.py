@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import time
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +338,12 @@ class _GobigAggregator:
         assert not self.bins, "gobig: bins left incomplete after flush"
 
 
+def _bin_fmt(bin_obj):
+    """The outfile/plot templating fields for one bin (neuston_callbacks.py:180-184)."""
+    return dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
+                BIN_DATE=bin_obj.yearday, INPUT_SUBDIRS=bin_obj.namespace)
+
+
 def parse_filter(filter_arg):
     """IN/OUT + keywords or keyword-files (neuston_net.py:199-207)."""
     if not filter_arg:
@@ -461,12 +468,12 @@ def do_run(args, engine=None):
         def record_error(bin_obj, e):
             error_bins.append((bin_obj, e))
             n = fail_retry.get(str(bin_obj), (0, 0))[0] + 1
-            fail_retry[str(bin_obj)] = (n, pass_no + min(2 ** n, 64))
+            backoff = min(2 ** n, 64)
+            fail_retry[str(bin_obj)] = (n, pass_no + backoff)
             if watch:  # surface immediately — exit-time reports don't exist
                 # for a service that never exits
                 print("\n{} FAILED ({}: {}) — retry in {} pass(es)".format(
-                    bin_obj, type(e).__name__, e, min(2 ** n, 64)),
-                    flush=True)
+                    bin_obj, type(e).__name__, e, backoff), flush=True)
 
         # --profile N: jax.profiler trace of the first N classified bins
         # (SURVEY.md §5.1 — observability on the deployment path too)
@@ -489,7 +496,6 @@ def do_run(args, engine=None):
             --watch new arrivals shift indices between passes, so ownership
             must come from the pid itself to stay stable across rescans."""
             if watch:
-                import zlib
                 return zlib.crc32(str(bin_obj.pid).encode()) % proc_cnt
             return bin_no % proc_cnt
 
@@ -511,9 +517,7 @@ def do_run(args, engine=None):
                 if plot_files:
                     cls = np.argmax(probs, axis=1)
                     win = np.max(probs, axis=1)
-                    fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
-                               BIN_DATE=bin_obj.yearday,
-                               INPUT_SUBDIRS=bin_obj.namespace)
+                    fmt = _bin_fmt(bin_obj)
                     for fname, *plot_params in perbin_plots:
                         save_run_plots(
                             os.path.join(args.outdir, fname).format(**fmt)
@@ -573,9 +577,7 @@ def do_run(args, engine=None):
                         continue
 
                 if not args.clobber:
-                    fmt = dict(BIN_ID=bin_obj.pid, BIN_YEAR=bin_obj.year,
-                               BIN_DATE=bin_obj.yearday,
-                               INPUT_SUBDIRS=bin_obj.namespace)
+                    fmt = _bin_fmt(bin_obj)
                     ofiles = [os.path.join(args.outdir, o).format(**fmt)
                               .replace(2 * os.sep, os.sep)
                               for o in args.outfile]
@@ -650,13 +652,11 @@ def do_run(args, engine=None):
         assert len(img_paths) > 0, "No images to process"
         loader = HostLoader(img_paths, batch_size=args.batch_size,
                             num_workers=args.loaders, rgb=True)
-        if int(getattr(args, "profile", 0) or 0):
-            jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
-            try:
-                probs, paths = engine.predict_loader(loader)
-            finally:
-                jax.profiler.stop_trace()
-        else:
+        import contextlib
+        ctx = (jax.profiler.trace(os.path.join(args.outdir, "profile"))
+               if int(getattr(args, "profile", 0) or 0)
+               else contextlib.nullcontext())
+        with ctx:
             probs, paths = engine.predict_loader(loader)
         for outfile in args.outfile:
             save_run_results(paths, probs, engine.classes, args.cmd_timestamp,

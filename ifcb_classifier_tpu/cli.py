@@ -223,6 +223,11 @@ def argparse_nn_run(run):
     run.add_argument("--clobber", action="store_true",
                      help="If set, already-processed bins in OUTDIR are "
                           "reprocessed.")
+    run.add_argument("--summary", metavar="FNAME",
+                     help="Write a machine-readable JSON run summary "
+                          "(per-class ROI counts, score histogram, errors) "
+                          "to OUTDIR/FNAME; refreshed after every pass in "
+                          "--watch mode (atomic replace, safe to poll).")
     run.add_argument("--watch", metavar="SECONDS", type=float,
                      help="Continuous serving mode (bin dirs only): rescan "
                           "SRC every SECONDS and classify newly-arrived bins "

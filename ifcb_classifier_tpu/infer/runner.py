@@ -394,15 +394,42 @@ def do_run(args, engine=None):
     perbin_plots = [pf for pf in plot_files
                     if "{BIN_" in pf[0] or "{INPUT_SUBDIRS}" in pf[0]]
     agg_plots = [pf for pf in plot_files if pf not in perbin_plots]
+    # --summary: machine-readable run summary (the aggregate plot's JSON
+    # twin for pipeline/monitoring integration); refreshed per watch pass
+    summary_file = getattr(args, "summary", None)
+    track_agg = bool(plot_files or summary_file)
     if plot_files:
-        from ..results.plots import (SCORE_HIST_BINS, save_run_plots,
-                                     validate_plot_files)
+        from ..results.plots import save_run_plots, validate_plot_files
         validate_plot_files(plot_files, which="run", src_type=args.src_type)
+    if track_agg:
+        from ..results.plots import SCORE_HIST_BINS
         # O(1)-memory aggregate accumulators (a --watch service runs for
         # months; per-ROI lists would grow without bound)
         agg_counts = np.zeros(len(engine.classes), np.int64)
         agg_hist = np.zeros(SCORE_HIST_BINS, np.int64)
     agg_total = 0
+
+    def write_summary(n_done, error_bins):
+        if not summary_file:
+            return
+        import json as _json
+        path = os.path.join(args.outdir, summary_file)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = dict(
+            version="v3", run_id=args.RUN_ID, model_id=engine.model_id,
+            timestamp=args.cmd_timestamp, updated_at=time.time(),
+            n_bins_done=n_done, n_rois=int(agg_total),
+            class_counts={c: int(n) for c, n in
+                          zip(engine.classes, agg_counts)},
+            score_histogram=dict(bins=len(agg_hist), range=[0, 1],
+                                 counts=[int(x) for x in agg_hist]),
+            n_errors=len(error_bins),
+            errors=[dict(bin=str(b), type=type(e).__name__, message=str(e))
+                    for b, e in error_bins[:100]])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:  # atomic swap: watch consumers may poll
+            _json.dump(payload, f, indent=1)
+        os.replace(tmp, path)
 
     # --watch flag sanity is mode-independent: reject silently-ignored and
     # silently-disabled spellings up front
@@ -514,7 +541,7 @@ def do_run(args, engine=None):
                     save_run_results(input_images, probs, engine.classes,
                                      args.cmd_timestamp, args.outdir,
                                      outfile, engine.model_id, bin_obj)
-                if plot_files:
+                if track_agg:
                     cls = np.argmax(probs, axis=1)
                     win = np.max(probs, axis=1)
                     fmt = _bin_fmt(bin_obj)
@@ -525,12 +552,12 @@ def do_run(args, engine=None):
                             class_labels=engine.classes,
                             output_classes=cls, winscores=win,
                             title=str(bin_obj.pid))
-                    if agg_plots:
-                        agg_counts += np.bincount(
-                            cls, minlength=len(engine.classes))
-                        agg_hist += np.histogram(
-                            win, bins=SCORE_HIST_BINS, range=(0, 1))[0]
-                        agg_total += len(cls)
+                    from ..results.plots import SCORE_HIST_BINS
+                    agg_counts += np.bincount(
+                        cls, minlength=len(engine.classes))
+                    agg_hist += np.histogram(
+                        win, bins=SCORE_HIST_BINS, range=(0, 1))[0]
+                    agg_total += len(cls)
                 n_done += 1
                 new_done += 1
                 maybe_profile()
@@ -624,6 +651,7 @@ def do_run(args, engine=None):
         if not watch:
             run_pass()
             refresh_agg_plots()
+            write_summary(n_done, error_bins)
         else:
             max_passes = getattr(args, "watch_passes", None)  # test hook
             print("Watching {} every {:g}s (Ctrl-C to stop)".format(
@@ -632,6 +660,7 @@ def do_run(args, engine=None):
                 while True:
                     if run_pass():
                         refresh_agg_plots()
+                    write_summary(n_done, error_bins)
                     pass_no += 1
                     if max_passes and pass_no >= max_passes:
                         break
@@ -668,4 +697,12 @@ def do_run(args, engine=None):
                            winscores=np.max(probs, axis=1),
                            title="{} ({} images)".format(args.RUN_ID,
                                                          len(paths)))
+        if track_agg:
+            from ..results.plots import SCORE_HIST_BINS
+            cls = np.argmax(probs, axis=1)
+            agg_counts += np.bincount(cls, minlength=len(engine.classes))
+            agg_hist += np.histogram(np.max(probs, axis=1),
+                                     bins=SCORE_HIST_BINS, range=(0, 1))[0]
+            agg_total += len(cls)
+            write_summary(0, [])
         print("RUN IS DONE ({} images)".format(len(paths)))

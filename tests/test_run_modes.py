@@ -494,3 +494,78 @@ class TestReviewHardening:
                        output_classes=[0, 1, 1], winscores=[.9, .5, .7])
         assert matplotlib.get_backend() == before_backend
         assert matplotlib.rcParams["axes.grid"] == before_grid
+
+
+class TestRunSummary:
+    """--summary: machine-readable JSON run summary (aggregate-plot twin)."""
+
+    def test_bin_mode_summary(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        out = str(tmp_path / "out")
+        do_run(run_args(str(bin_tree), ckpt, out, summary="summary.json"))
+        s = json.load(open(os.path.join(out, "summary.json")))
+        assert s["n_bins_done"] == 3 and s["n_errors"] == 0
+        assert s["n_rois"] == 6  # 3 bins x 2 ROIs
+        assert set(s["class_counts"]) == {"a", "b"}
+        assert sum(s["class_counts"].values()) == 6
+        assert sum(s["score_histogram"]["counts"]) == 6
+        assert s["model_id"] == "m" and s["version"] == "v3"
+
+    def test_summary_records_errors(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20250301T000000_IFCB900",
+                  [make_roi(10, 12, 1)], 2)
+        bad = "D20250302T000000_IFCB900"
+        write_bin(str(root), bad, [make_roi(20, 20, 2)], 2)
+        roi = os.path.join(root, bad + ".roi")
+        with open(roi, "r+b") as f:
+            f.truncate(3)
+        out = str(tmp_path / "out")
+        do_run(run_args(str(root), ckpt, out, summary="s.json"))
+        s = json.load(open(os.path.join(out, "s.json")))
+        assert s["n_bins_done"] == 1 and s["n_errors"] == 1
+        assert s["errors"][0]["bin"].startswith(bad)
+        assert "corrupt" in s["errors"][0]["message"]
+
+    def test_img_mode_summary(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"a": 5},
+                                         size=(30, 30))
+        out = str(tmp_path / "out")
+        do_run(run_args(src, ckpt, out, src_type="img",
+                        outfile=["img_results.json"], summary="s.json"))
+        s = json.load(open(os.path.join(out, "s.json")))
+        assert s["n_rois"] == 5
+        assert sum(s["class_counts"].values()) == 5
+
+    def test_watch_refreshes_summary(self, ckpt, tmp_path, monkeypatch):
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20250303T000000_IFCB900",
+                  [make_roi(12, 14, 1)], 2)
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+            def time(self):
+                return real_time.time() + 1e6
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 1:
+                    write_bin(str(root), "D20250304T000000_IFCB900",
+                              [make_roi(9, 9, 2), make_roi(8, 8, 3)], 2)
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                               watch_passes=3, summary="live.json"))
+        s = json.load(open(os.path.join(out, "live.json")))
+        assert s["n_bins_done"] == 2 and s["n_rois"] == 3
+
+    def test_cli_flag(self):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        a = argparse_nn().parse_args(["RUN", "s", "m.ptl", "r",
+                                      "--summary", "sum.json"])
+        assert a.summary == "sum.json"

@@ -159,7 +159,10 @@ def main():
     for i in range(iters):
         state, loss = step(state, batch, jax.random.PRNGKey(i))
     _ = float(loss)
-    _ = float(jnp.sum(jnp.abs(state.params["fc"]["kernel"]).astype(jnp.float32)))
+    # param checksum forces a real device fetch; first leaf — model-agnostic
+    # (efficientnet etc. have no "fc" head)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    _ = float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
     dt = time.perf_counter() - t0
     imgs_per_sec = BATCH * iters / dt
 

@@ -298,6 +298,7 @@ class DataDirectory:
         self.path = path
         self.whitelist = list(whitelist) if whitelist else None
         self.blacklist = list(blacklist) if blacklist else None
+        self._found = None  # discovery cache (see _discover)
 
     def _match(self, basepath: str) -> bool:
         pid = os.path.basename(basepath)
@@ -311,6 +312,11 @@ class DataDirectory:
         return True
 
     def _discover(self):
+        # cached: the instance is a snapshot (filters fixed at construction);
+        # len(dd) + iteration must not walk a deployment-scale tree twice.
+        # Watch-mode rescans construct a FRESH DataDirectory per pass.
+        if self._found is not None:
+            return self._found
         found = []
         for pardir, _, files in os.walk(self.path):
             for fname in files:
@@ -325,7 +331,8 @@ class DataDirectory:
                     continue
                 if self._match(base):
                     found.append(base)
-        return sorted(found)
+        self._found = sorted(found)
+        return self._found
 
     def __iter__(self):
         for base in self._discover():

@@ -52,6 +52,24 @@ def decode_image(path: str, rgb: bool = True) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def shrink_to_fit(img: np.ndarray, S: int) -> np.ndarray:
+    """Downscale (PIL bilinear, aspect-preserved) so max(h, w) <= S.
+
+    Used for the rare image larger than the canvas ceiling: the whole image
+    is KEPT (the reference resizes the full image in one PIL step,
+    neuston_data.py:456-464; cropping would silently discard organism
+    pixels). The extra resample pass vs the reference's single resize is a
+    documented deviation (QUIRKS.md).
+    """
+    from PIL import Image
+    h, w = img.shape[:2]
+    scale = S / max(h, w)
+    nh = max(1, int(round(h * scale)))
+    nw = max(1, int(round(w * scale)))
+    return np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR),
+                      np.uint8)
+
+
 def pack_canvas_batch(images, batch_size=None, rgb=None):
     """Pack a list of uint8 arrays (2-D gray or 3-D RGB) into one canvas batch.
 
@@ -73,9 +91,10 @@ def pack_canvas_batch(images, batch_size=None, rgb=None):
     for k, img in enumerate(images):
         if rgb and img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
-        h = min(img.shape[0], S)
-        w = min(img.shape[1], S)
-        canvas[k, :h, :w] = img[:h, :w]
+        if img.shape[0] > S or img.shape[1] > S:
+            img = shrink_to_fit(img, S)  # never crop — see shrink_to_fit
+        h, w = img.shape[:2]
+        canvas[k, :h, :w] = img
         sizes[k] = (h, w)
     return canvas, sizes, n
 
@@ -137,10 +156,12 @@ class HostLoader:
             # weights): one "epoch" still draws len(items) samples, but each
             # class contributes ~equally — the BASELINE config #4 sampler the
             # reference lacks (its only lever is --class-max truncation).
-            labels = np.asarray(self.labels)
+            # Draw only from the REAL items: multi-host manifest pads must
+            # not inflate class counts nor yield masked-out (wasted) rows.
+            labels = np.asarray(self.labels[:self.n_real])
             counts = np.bincount(labels)
             weights = 1.0 / counts[labels]
-            order = rng.choice(len(self.items), size=len(self.items),
+            order = rng.choice(self.n_real, size=len(self.items),
                                replace=True, p=weights / weights.sum())
         else:
             order = np.arange(len(self.items))

@@ -128,6 +128,8 @@ class InferenceEngine:
             targets = list(images_dict.keys())
             return targets, self.predict_images(list(images_dict.values()))
 
+        from ..data.pipeline import MAX_CANVAS
+
         from .. import native
         adc = bin.adc
         keep = np.nonzero((adc["roiWidth"] > 0) & (adc["roiHeight"] > 0))[0]
@@ -136,11 +138,33 @@ class InferenceEngine:
         heights = adc["roiHeight"][keep]
         widths = adc["roiWidth"][keep]
         starts = adc["startByte"][keep]
+        roi_buf = bin._roi_bytes
+
+        # oversized ROIs (max side > canvas ceiling) go through the generic
+        # path, which shrink-to-fits them — the native packer would CROP
+        # (reference parity: the full image is always classified,
+        # neuston_data.py:456-464)
+        big = np.maximum(heights, widths) > MAX_CANVAS
+        big_rows = {}
+        if big.any():
+            bsel = np.nonzero(big)[0]
+            imgs = [roi_buf[int(starts[j]):int(starts[j]) +
+                            int(heights[j]) * int(widths[j])]
+                    .reshape(int(heights[j]), int(widths[j]))
+                    for j in bsel]
+            bprobs = self.predict_images(imgs)
+            big_rows = {int(keep[j] + 1): bprobs[k]
+                        for k, j in enumerate(bsel)}
+            norm = np.nonzero(~big)[0]
+            keep, heights, widths, starts = (keep[norm], heights[norm],
+                                             widths[norm], starts[norm])
         targets = keep + 1
+        if keep.size == 0:
+            ordered = sorted(big_rows)
+            return ordered, np.stack([big_rows[t] for t in ordered])
         ladders = np.asarray([ladder_size(int(max(h, w)))
                               for h, w in zip(heights, widths)])
 
-        roi_buf = bin._roi_bytes
         B = self.batch_size
         pending = []  # (device probs, sel) — fetched once at bin end so the
         # next chunk's pack+transfer overlaps this chunk's compute
@@ -162,7 +186,7 @@ class InferenceEngine:
                             [int(targets[sel[j]]) for j in bad[:5]]))
                 pending.append((self._run_batch(
                     self.params, self.batch_stats, canvas, sizes), sel))
-        probs_by_target = {}
+        probs_by_target = dict(big_rows)
         for probs, sel in zip(jax.device_get([p for p, _ in pending]),
                               [s for _, s in pending]):
             for k, j in enumerate(sel):
@@ -252,9 +276,33 @@ class _GobigAggregator:
                 "{}".format([int(keep[j] + 1) for j in bad[:5]])))
             return
 
+        # oversized ROIs: generic shrink-to-fit path (predict_bin parity —
+        # the native packer would crop them)
+        from ..data.pipeline import MAX_CANVAS
+        big = np.maximum(heights, widths) > MAX_CANVAS
+        big_rows = {}
+        if big.any():
+            bsel = np.nonzero(big)[0]
+            imgs = [roi_buf[int(starts[j]):int(starts[j]) +
+                            int(heights[j]) * int(widths[j])]
+                    .reshape(int(heights[j]), int(widths[j]))
+                    for j in bsel]
+            bprobs = self.engine.predict_images(imgs)
+            big_rows = {int(keep[j] + 1): bprobs[k]
+                        for k, j in enumerate(bsel)}
+            norm = np.nonzero(~big)[0]
+            keep, heights, widths, starts = (keep[norm], heights[norm],
+                                             widths[norm], starts[norm])
+        if keep.size == 0:  # bin was ALL oversized — complete immediately
+            ordered = sorted(big_rows)
+            self.on_result(bin_obj, ordered,
+                           np.stack([big_rows[t] for t in ordered]))
+            return
+
         key = self._next_key
         self._next_key += 1
-        self.bins[key] = dict(obj=bin_obj, remaining=int(keep.size), rows={})
+        self.bins[key] = dict(obj=bin_obj, remaining=int(keep.size),
+                              rows=big_rows)
         for i in range(keep.size):
             S = ladder_size(int(max(heights[i], widths[i])))
             self.queues.setdefault(S, []).append(

@@ -87,6 +87,11 @@ def shard_manifest(items, labels=None):
     p, n = jax.process_index(), jax.process_count()
     if n == 1:
         return items, labels, len(items)
+    if not len(items):
+        raise ValueError(
+            "cannot shard an EMPTY manifest across {} processes — the "
+            "dataset produced no items (e.g. an empty validation split); "
+            "fix the dataset/split before launching multi-host".format(n))
     per_host = -(-len(items) // n)
     items_s = list(items)[p::n]
     labels_s = list(labels)[p::n] if labels is not None else None

@@ -192,3 +192,23 @@ class TestPrefetch:
             time.sleep(0.25)
         assert len(produced) == last and last < 100, \
             f"producer still running ({len(produced)} items)"
+
+
+def test_make_preprocessor_matches_preprocess_batch():
+    """make_preprocessor is the public jit convenience (docs/API.md); pin it
+    to the fused-path function so the two can't silently drift."""
+    import jax
+    import numpy as np
+    from ifcb_classifier_tpu.ops.preprocess import (make_preprocessor,
+                                                    preprocess_batch)
+    rng = np.random.default_rng(5)
+    canvas = rng.integers(0, 256, (4, 64, 64), np.uint8)
+    sizes = np.asarray([[40, 64], [64, 30], [10, 10], [64, 64]], np.int32)
+    pre = make_preprocessor(out_size=32, mean=(0.5, 0.4, 0.3),
+                            std=(0.2, 0.2, 0.25))
+    a = jax.device_get(pre(canvas, sizes))
+    b = jax.device_get(preprocess_batch(canvas, sizes, out_size=32,
+                                        mean=(0.5, 0.4, 0.3),
+                                        std=(0.2, 0.2, 0.25)))
+    # jit fusion may reassociate the resize matmuls — equal to fp32 noise
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -569,3 +569,91 @@ class TestRunSummary:
         a = argparse_nn().parse_args(["RUN", "s", "m.ptl", "r",
                                       "--summary", "sum.json"])
         assert a.summary == "sum.json"
+
+
+class TestOversizedRois:
+    """Images/ROIs larger than the 1024-px canvas ceiling are shrink-to-fit,
+    never cropped (reference parity: neuston_data.py:456-464 resizes the
+    full image; the code-review caught the silent crop)."""
+
+    def test_pack_canvas_shrinks_not_crops(self):
+        from ifcb_classifier_tpu.data.pipeline import (MAX_CANVAS,
+                                                       pack_canvas_batch)
+        img = np.zeros((200, 1400), np.uint8)
+        img[:, -10:] = 255  # distinctive far-right stripe
+        canvas, sizes, n = pack_canvas_batch([img], batch_size=2, rgb=False)
+        h, w = sizes[0]
+        assert w <= MAX_CANVAS and w > 900  # shrunk, aspect kept
+        assert canvas[0, :h, w - 3:w].mean() > 200  # stripe survived
+
+    def test_predict_bin_oversized_roi(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rois = [make_roi(16, 20, 1),
+                np.asarray(make_roi(40, 1100, 2)),  # wider than the ceiling
+                make_roi(10, 10, 3)]
+        base = write_bin(str(tmp_path), "D20250501T000000_IFCB900", rois, 2)
+        eng = InferenceEngine(ckpt, batch_size=8)
+        targets, probs = eng.predict_bin(Bin(base + ".adc"))
+        assert targets == [1, 2, 3]
+        np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-4)
+        # the oversized ROI's scores match the generic path on the same array
+        direct = eng.predict_images([rois[1]])
+        np.testing.assert_allclose(probs[1], direct[0], atol=1e-4)
+
+    def test_gobig_oversized_and_all_oversized_bins(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20250502T000000_IFCB900",
+                  [make_roi(12, 14, 1), make_roi(30, 1100, 2)], 2)
+        write_bin(str(root), "D20250503T000000_IFCB900",
+                  [make_roi(20, 1200, 3)], 2)  # ALL oversized
+        out = str(tmp_path / "out")
+        do_run(run_args(str(root), ckpt, out, gobig=True))
+        a = json.load(open(os.path.join(
+            out, "D20250502T000000_IFCB900.json")))
+        b = json.load(open(os.path.join(
+            out, "D20250503T000000_IFCB900.json")))
+        assert a["roi_numbers"] == [1, 2] and b["roi_numbers"] == [1]
+
+
+class TestManifestAndDiscoveryFixes:
+    def test_shard_manifest_rejects_empty(self, monkeypatch):
+        import jax
+        from ifcb_classifier_tpu.parallel.distributed import shard_manifest
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        with pytest.raises(ValueError, match="EMPTY manifest"):
+            shard_manifest([], [])
+
+    def test_datadirectory_discovery_cached(self, tmp_path, monkeypatch):
+        import ifcb_classifier_tpu.data.ifcb as ifcb_mod
+        write_bin(str(tmp_path), "D20250504T000000_IFCB900",
+                  [make_roi(8, 8, 0)], 2)
+        dd = ifcb_mod.DataDirectory(str(tmp_path))
+        walks = {"n": 0}
+        real_walk = os.walk
+        def counting(*a, **kw):
+            walks["n"] += 1
+            return real_walk(*a, **kw)
+        monkeypatch.setattr(ifcb_mod.os, "walk", counting)
+        assert len(dd) == 1
+        assert len(list(dd)) == 1
+        assert walks["n"] == 1  # second access served from the cache
+
+    def test_balanced_sampler_excludes_manifest_pads(self, tmp_path):
+        from fixtures import write_image_folder_dataset
+        from ifcb_classifier_tpu.data.pipeline import HostLoader
+        src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                         {"a": 6, "b": 2}, size=(20, 20))
+        import glob as g
+        paths = sorted(g.glob(src + "/*/*.png"))
+        labels = [0] * 6 + [1] * 2
+        # simulate shard_manifest pads: repeat the first item 4x past n_real
+        items = paths + [paths[0]] * 4
+        labs = labels + [0] * 4
+        ld = HostLoader(items, labs, batch_size=4, shuffle=True, seed=3,
+                        balanced=True, n_real=8)
+        for b in ld:
+            assert b["mask"].all()          # no wasted masked rows
+            assert (b["indices"] < 8).all()  # pads never drawn

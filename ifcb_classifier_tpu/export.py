@@ -78,7 +78,16 @@ def export_model(ckpt_path: str, output: str | None = None,
 
 def run_exported(model_path: str, src: str, classfile: str | None = None,
                  batch_size: int = 108):
-    """Run a .stablehlo artifact (or a raw checkpoint) over images."""
+    """Run a serialized .stablehlo EXPORT artifact over images.
+
+    Raw `.ptl` checkpoints are NOT accepted here — export them first
+    (`ifcbnn-export EXPORT model.ptl`); a clear error beats jax.export's
+    opaque flatbuffer failure."""
+    if model_path.endswith((".ptl", ".ckpt")):
+        raise ValueError(
+            "{} looks like a raw checkpoint, not an exported artifact — "
+            "run `ifcbnn-export EXPORT {}` first".format(model_path,
+                                                         model_path))
     import jax.numpy as jnp
     from jax import export as jexport
 

@@ -3,7 +3,9 @@
 Not in the reference zoo (torchvision 0.8.2 predates it) but required by
 BASELINE.json config #3 ("EfficientNet-B4 / DenseNet121 alternate backbones").
 MBConv with squeeze-excitation, SiLU, BN(eps=1e-3, torch momentum 0.01),
-per-sample stochastic depth (0.2 linearly scaled over blocks).
+per-sample stochastic depth (0.2 linearly scaled over blocks). BN eps/
+momentum follow torchvision exactly: defaults for b0-b4, (1e-3, 0.01) for
+b5-b7 only.
 """
 
 from __future__ import annotations
@@ -53,13 +55,27 @@ def round_repeats(r: int, depth_mult: float) -> int:
     return int(math.ceil(depth_mult * r))
 
 
+# torchvision BN hyperparameters differ by variant: b0-b4 use the
+# BatchNorm2d DEFAULTS (eps=1e-5, momentum=0.1); only b5/b6/b7 pass
+# partial(BatchNorm2d, eps=1e-3, momentum=0.01) (torchvision
+# models/efficientnet.py builders) — getting this wrong skews activations
+# for ported real weights on channels with small running_var
+def bn_params_for(variant: str):
+    return ((1e-3, 0.01) if variant in ("efficientnet_b5", "efficientnet_b6",
+                                        "efficientnet_b7")
+            else (1e-5, 0.1))
+
+
 class _BN(nn.Module):
     dtype: Any = jnp.float32
+    epsilon: float = 1e-5
+    momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, train):
         from .layers import TorchBN
-        return TorchBN(momentum=0.01, epsilon=1e-3, dtype=self.dtype,
+        return TorchBN(momentum=self.momentum, epsilon=self.epsilon,
+                       dtype=self.dtype,
                        name="bn")(x, use_running_average=not train)
 
 
@@ -71,6 +87,8 @@ class MBConv(nn.Module):
     out_ch: int
     sd_prob: float
     dtype: Any = jnp.float32
+    bn_eps: float = 1e-5
+    bn_mom: float = 0.1
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -79,11 +97,13 @@ class MBConv(nn.Module):
         h = x
         if self.expand_ratio != 1:
             h = ConvT(expanded, 1, use_bias=False, dtype=d, name="expand_conv")(h)
-            h = _BN(d, name="expand_bn")(h, train)
+            h = _BN(d, self.bn_eps, self.bn_mom,
+                    name="expand_bn")(h, train)
             h = nn.silu(h)
         h = ConvT(expanded, self.kernel, self.stride, self.kernel // 2,
                   groups=expanded, use_bias=False, dtype=d, name="dw_conv")(h)
-        h = _BN(d, name="dw_bn")(h, train)
+        h = _BN(d, self.bn_eps, self.bn_mom,
+                name="dw_bn")(h, train)
         h = nn.silu(h)
         # squeeze-excitation on block *input* channel count / 4
         sq = max(1, self.in_ch // 4)
@@ -92,7 +112,8 @@ class MBConv(nn.Module):
         s = nn.sigmoid(ConvT(expanded, 1, dtype=d, name="se_expand")(s))
         h = h * s
         h = ConvT(self.out_ch, 1, use_bias=False, dtype=d, name="project_conv")(h)
-        h = _BN(d, name="project_bn")(h, train)
+        h = _BN(d, self.bn_eps, self.bn_mom,
+                name="project_bn")(h, train)
         if self.stride == 1 and self.in_ch == self.out_ch:
             if train and self.sd_prob > 0:
                 keep = 1.0 - self.sd_prob
@@ -111,12 +132,13 @@ class EfficientNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         width, depth, dropout = EFFICIENTNET_CFGS[self.variant]
+        bn_eps, bn_mom = bn_params_for(self.variant)
         d = self.dtype
         x = x.astype(d)
 
         stem = round_filters(32, width)
         x = ConvT(stem, 3, 2, 1, use_bias=False, dtype=d, name="stem_conv")(x)
-        x = _BN(d, name="stem_bn")(x, train)
+        x = _BN(d, bn_eps, bn_mom, name="stem_bn")(x, train)
         x = nn.silu(x)
 
         total_blocks = sum(round_repeats(r, depth) for *_, r in _BASE_STAGES)
@@ -128,13 +150,14 @@ class EfficientNet(nn.Module):
                 stride = s if i == 0 else 1
                 sd = 0.2 * block_idx / total_blocks
                 x = MBConv(er, k, stride, in_ch, out_ch, sd, d,
+                           bn_eps, bn_mom,
                            name=f"block{s_idx}_{i}")(x, train)
                 in_ch = out_ch
                 block_idx += 1
 
         head = 4 * in_ch
         x = ConvT(head, 1, use_bias=False, dtype=d, name="head_conv")(x)
-        x = _BN(d, name="head_bn")(x, train)
+        x = _BN(d, bn_eps, bn_mom, name="head_bn")(x, train)
         x = nn.silu(x)
         x = global_avg_pool(x)
         x = nn.Dropout(dropout, deterministic=not train)(x)

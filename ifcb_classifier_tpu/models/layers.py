@@ -106,16 +106,6 @@ class BatchNormT(nn.Module):
     def __call__(self, x, train: bool):
         return TorchBN(momentum=0.1, epsilon=1e-5, dtype=self.dtype,
                        name="bn")(x, use_running_average=not train)
-
-
-def conv_bn(features, kernel_size, stride=1, padding=0, dtype=jnp.float32,
-            name=None):
-    """Convenience constructor pair used by inception/densenet/efficientnet."""
-    return (partial(ConvT, features, kernel_size, stride, padding,
-                    use_bias=False, dtype=dtype),
-            partial(BatchNormT, dtype=dtype))
-
-
 def max_pool(x, window, stride, padding=0):
     """torch MaxPool2d: symmetric padding with -inf fill.
 

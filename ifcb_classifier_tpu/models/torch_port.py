@@ -179,9 +179,6 @@ def port_state_dict(family: str, state_dict: dict, params, batch_stats,
             parts = [p.key for p in path]
             leaf_name = parts[-1]
             tkey = _flax_path_to_torch_key(family, parts[:-1], leaf_name)
-            if family == "inception_v3" and not tkey.startswith(("fc.",)):
-                # torchvision prefixes submodule names directly; ours match
-                pass
             if skip_head and is_head(tkey):
                 out.append(leaf)
                 continue

@@ -59,6 +59,10 @@ def pack_rois_native(roi_bytes: np.ndarray, starts, heights, widths,
     """
     lib = _load()
     n = len(starts)
+    assert n <= batch_size, (
+        "pack_rois_native: {} ROIs exceed batch_size {} — the canvas is "
+        "caller-allocated at batch_size rows; more would be out-of-bounds "
+        "writes in the native path".format(n, batch_size))
     starts = np.ascontiguousarray(starts, np.int64)
     heights = np.ascontiguousarray(heights, np.int64)
     widths = np.ascontiguousarray(widths, np.int64)

@@ -69,6 +69,17 @@ def main(parser):
     add_runtime_params(args)
     if args.cmd_mode == "TRAIN":
         proc_outdir(args)
+    elif args.cmd_mode == "RUN":
+        # resolve {RUN_ID}/{MODEL_ID} here too (the reference does,
+        # neuston_net.py:438-444) — otherwise SLURM logs and the archived
+        # script land in a directory literally named '{RUN_ID}'
+        try:
+            from .train.checkpoint import load_checkpoint
+            model_id = load_checkpoint(args.MODEL)[2].get("model_id")
+        except Exception:  # ckpt not present at submit time (job chains):
+            # fall back to the file stem rather than refusing to submit
+            model_id = os.path.splitext(os.path.basename(args.MODEL))[0]
+        proc_outdir(args, model_id_for_run=model_id)
 
     for key in list(sbatch_dict):
         arg = getattr(args, key.lower(), None)

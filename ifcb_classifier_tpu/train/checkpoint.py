@@ -87,7 +87,13 @@ def load_train_state(path: str, template_state):
 
 
 def tree_float32(tree):
-    """Cast all float leaves to f32 (load-time normalization)."""
+    """Cast all float leaves to f32 (load-time normalization).
+
+    Uses jnp.issubdtype: numpy's issubdtype reports bfloat16 as NON-float
+    (kind 'V'), which would silently skip exactly the dtype bf16-compute
+    checkpoints contain."""
+    import jax.numpy as jnp
     return jax.tree_util.tree_map(
-        lambda x: x.astype(np.float32) if np.issubdtype(x.dtype, np.floating) else x,
+        lambda x: (x.astype(np.float32)
+                   if jnp.issubdtype(x.dtype, jnp.floating) else x),
         tree)

@@ -96,12 +96,16 @@ def calc_img_norm(args):
 
     @jax.jit
     def batch_stats(canvas, sizes, mask):
+        # per-batch JOINT mean/std over all valid pixels (np.std(batch,
+        # axis=(0,2,3)) in the reference, neuston_util.py:35-36) — NOT the
+        # mean of per-image stds, which by the law of total variance omits
+        # inter-image mean variance and underestimates STD
         x = preprocess_batch(canvas, sizes, out_size=args.resize)
-        m = mask.astype(jnp.float32)[:, None]
-        n = jnp.maximum(m.sum(), 1.0)
-        cm = (x.mean(axis=(1, 2)) * m).sum(0) / n
-        cs = (x.std(axis=(1, 2)) * m).sum(0) / n
-        return cm, cs
+        m = mask.astype(jnp.float32)[:, None, None, None]
+        n_pix = jnp.maximum(m.sum() * x.shape[1] * x.shape[2], 1.0)
+        cm = (x * m).sum(axis=(0, 1, 2)) / n_pix
+        cv = (((x - cm) ** 2) * m).sum(axis=(0, 1, 2)) / n_pix
+        return cm, jnp.sqrt(cv)
 
     pop_mean, pop_std = [], []
     num_batches = len(loader)

@@ -60,3 +60,20 @@ class TestSbatchDryRun:
         assert "python -m ifcb_classifier_tpu TRAIN srcdir resnet18 tid" \
             in content
         assert "SRUN Command:" in r.stdout
+
+
+class TestSbatchRunOutdir:
+    def test_run_mode_resolves_outdir_placeholders(self, tmp_path):
+        """RUN-mode sbatch must resolve {RUN_ID}/{MODEL_ID} like the
+        reference (neuston_net.py:438-444) — no literal-brace directories."""
+        out_pat = str(tmp_path / "run-output" / "{RUN_ID}" / "{MODEL_ID}")
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "rj",
+             "RUN", str(tmp_path / "bins"), str(tmp_path / "model.ptl"),
+             "myrun", "--outdir", out_pat],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        resolved = tmp_path / "run-output" / "myrun" / "model"
+        assert resolved.is_dir()  # fallback MODEL_ID = ckpt file stem
+        assert not (tmp_path / "run-output" / "{RUN_ID}").exists()

@@ -142,3 +142,17 @@ class TestBinErrorIsolation:
         assert not (tmp_path / "out" / "D20240102T000000_IFCB900.json").exists()
         assert "The following bins failed" in out
         assert "D20240102T000000_IFCB900" in out
+
+
+def test_pack_rois_native_rejects_overfull_batch():
+    """n > batch_size would be out-of-bounds writes in the C path — the
+    wrapper must fail loudly (review finding)."""
+    import numpy as np
+    import pytest
+    from ifcb_classifier_tpu import native
+    buf = np.zeros(1000, np.uint8)
+    with pytest.raises(AssertionError, match="exceed batch_size"):
+        native.pack_rois_native(buf, np.zeros(5, np.int64),
+                                np.full(5, 4, np.int64),
+                                np.full(5, 4, np.int64),
+                                batch_size=4, canvas_size=64)

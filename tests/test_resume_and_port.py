@@ -274,3 +274,26 @@ class TestReconstructGlobalRows:
         idx[3, 1, 0] = 2      # local idx 2 → g = 3 + 2*4 = 11 >= N
         probs, glob = reconstruct_global_rows(probs_batches, ns, idx, P, BL, N)
         assert sorted(glob) == list(range(N))  # pad dropped, no IndexError
+
+
+def test_tree_float32_casts_bf16():
+    """numpy's issubdtype treats bfloat16 as non-float (kind 'V') — the
+    helper must still cast it (review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ifcb_classifier_tpu.train.checkpoint import tree_float32
+    tree = {"w": jnp.ones((3,), jnp.bfloat16), "i": np.arange(3),
+            "f": np.ones(2, np.float16)}
+    out = tree_float32(tree)
+    assert out["w"].dtype == np.float32
+    assert out["f"].dtype == np.float32
+    assert out["i"].dtype == np.int64 or out["i"].dtype == np.dtype("int64")
+
+
+def test_run_exported_rejects_raw_checkpoint(tmp_path):
+    from ifcb_classifier_tpu.export import run_exported
+    p = tmp_path / "m.ptl"
+    p.write_bytes(b"\x81\xa4junk")
+    import pytest
+    with pytest.raises(ValueError, match="raw checkpoint"):
+        run_exported(str(p), str(tmp_path))

@@ -106,3 +106,37 @@ class TestPortWeightsCLI:
         out = np.load(str(tmp_path / "w.npz"))
         assert set(out.files) == {"conv1.weight", "bn1.weight"}
         assert out["conv1.weight"].shape == (4, 3, 3, 3)
+
+
+class TestImgNormJointStd:
+    def test_matches_reference_batch_std_formula(self, tmp_path):
+        """STD must be the per-batch JOINT std (np.std(batch, axis=(0,2,3)),
+        neuston_util.py:36) — NOT the mean of per-image stds, which omits
+        inter-image mean variance (review finding). With one batch covering
+        the whole dataset the two formulas differ by the inter-image term."""
+        import argparse
+        import glob
+
+        from PIL import Image
+        from ifcb_classifier_tpu.util_cli import calc_img_norm
+
+        src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                         {"dark": 6, "light": 6},
+                                         size=(24, 24), seed=7)
+        for p in glob.glob(src + "/dark/*.png"):
+            a = (np.asarray(Image.open(p)) * 0.2).astype(np.uint8)
+            Image.fromarray(a).save(p)
+        args = argparse.Namespace(SRC=src, class_config=None, class_min=1,
+                                  class_max=None, resize=24, batch_size=64)
+        mean, std = calc_img_norm(args)
+
+        imgs = np.stack([
+            np.asarray(Image.open(p).convert("RGB"))
+            for p in sorted(glob.glob(src + "/*/*.png"))]) / 255.0
+        ref_mean = imgs.mean(axis=(0, 1, 2))
+        ref_std = imgs.std(axis=(0, 1, 2))          # joint (reference)
+        per_img_std = imgs.std(axis=(1, 2)).mean(0)  # the WRONG formula
+        np.testing.assert_allclose(mean, ref_mean, atol=0.02)
+        np.testing.assert_allclose(std, ref_std, atol=0.02)
+        # the two formulas genuinely differ on this dataset — the test bites
+        assert abs(ref_std[0] - per_img_std[0]) > 0.05

@@ -133,9 +133,11 @@ class _SE(nn.Module):
 
 
 def _cna(i, o, k, s, groups=1):  # Conv2dNormActivation (SiLU)
+    # b0 uses torchvision's BatchNorm2d DEFAULTS (eps=1e-5, momentum=0.1);
+    # only b5-b7 override to (1e-3, 0.01) in torchvision's builders
     return nn.Sequential(
         nn.Conv2d(i, o, k, s, k // 2, groups=groups, bias=False),
-        nn.BatchNorm2d(o, eps=1e-3, momentum=0.01), nn.SiLU(inplace=True))
+        nn.BatchNorm2d(o), nn.SiLU(inplace=True))
 
 
 class _MBConv(nn.Module):
@@ -149,7 +151,7 @@ class _MBConv(nn.Module):
         layers.append(_SE(mid, max(1, i // 4)))
         layers.append(nn.Sequential(
             nn.Conv2d(mid, o, 1, bias=False),
-            nn.BatchNorm2d(o, eps=1e-3, momentum=0.01)))
+            nn.BatchNorm2d(o)))
         self.block = nn.Sequential(*layers)
         self.residual = (s == 1 and i == o)
 

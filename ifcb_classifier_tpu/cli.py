@@ -274,7 +274,10 @@ def main_cli(argv=None):
         # build the engine once: it deserializes the checkpoint (weights +
         # hparams) and supplies the {MODEL_ID} for --outdir templating
         from .infer.runner import InferenceEngine
-        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size)
+        from .utils.config import resolve_dtype
+        engine = InferenceEngine(
+            args.MODEL, batch_size=args.batch_size,
+            dtype=resolve_dtype(getattr(args, "precision", None)))
     proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
     main(args, engine=engine)
 

@@ -128,36 +128,18 @@ class InferenceEngine:
             targets = list(images_dict.keys())
             return targets, self.predict_images(list(images_dict.values()))
 
-        from ..data.pipeline import MAX_CANVAS
-
         from .. import native
         adc = bin.adc
         keep = np.nonzero((adc["roiWidth"] > 0) & (adc["roiHeight"] > 0))[0]
         if keep.size == 0:
             return [], np.zeros((0, len(self.classes)), np.float32)
-        heights = adc["roiHeight"][keep]
-        widths = adc["roiWidth"][keep]
-        starts = adc["startByte"][keep]
+        heights = adc["roiHeight"][keep].astype(np.int64)
+        widths = adc["roiWidth"][keep].astype(np.int64)
+        starts = adc["startByte"][keep].astype(np.int64)
         roi_buf = bin._roi_bytes
 
-        # oversized ROIs (max side > canvas ceiling) go through the generic
-        # path, which shrink-to-fits them — the native packer would CROP
-        # (reference parity: the full image is always classified,
-        # neuston_data.py:456-464)
-        big = np.maximum(heights, widths) > MAX_CANVAS
-        big_rows = {}
-        if big.any():
-            bsel = np.nonzero(big)[0]
-            imgs = [roi_buf[int(starts[j]):int(starts[j]) +
-                            int(heights[j]) * int(widths[j])]
-                    .reshape(int(heights[j]), int(widths[j]))
-                    for j in bsel]
-            bprobs = self.predict_images(imgs)
-            big_rows = {int(keep[j] + 1): bprobs[k]
-                        for k, j in enumerate(bsel)}
-            norm = np.nonzero(~big)[0]
-            keep, heights, widths, starts = (keep[norm], heights[norm],
-                                             widths[norm], starts[norm])
+        big_rows, keep, heights, widths, starts = _split_oversized(
+            self.predict_images, roi_buf, keep, heights, widths, starts)
         targets = keep + 1
         if keep.size == 0:
             ordered = sorted(big_rows)
@@ -221,6 +203,30 @@ class InferenceEngine:
                 paths)
 
 
+def _split_oversized(predict_images, roi_buf, keep, heights, widths, starts):
+    """Split out ROIs whose max side exceeds the canvas ceiling and classify
+    them via the generic shrink-to-fit path (the native packer would CROP
+    them; reference parity — the full image is always classified,
+    neuston_data.py:456-464). Returns ({target: probs_row} for the oversized
+    ones, and the filtered keep/heights/widths/starts for the native path).
+    Shared by predict_bin and the gobig aggregator so the two cannot drift.
+    """
+    from ..data.pipeline import MAX_CANVAS
+
+    big = np.maximum(heights, widths) > MAX_CANVAS
+    if not big.any():
+        return {}, keep, heights, widths, starts
+    bsel = np.nonzero(big)[0]
+    imgs = [roi_buf[int(starts[j]):int(starts[j]) +
+                    int(heights[j]) * int(widths[j])]
+            .reshape(int(heights[j]), int(widths[j]))
+            for j in bsel]
+    bprobs = predict_images(imgs)
+    big_rows = {int(keep[j] + 1): bprobs[k] for k, j in enumerate(bsel)}
+    norm = np.nonzero(~big)[0]
+    return (big_rows, keep[norm], heights[norm], widths[norm], starts[norm])
+
+
 class _GobigAggregator:
     """Cross-bin canvas packing for InferenceEngine.gobig().
 
@@ -276,23 +282,9 @@ class _GobigAggregator:
                 "{}".format([int(keep[j] + 1) for j in bad[:5]])))
             return
 
-        # oversized ROIs: generic shrink-to-fit path (predict_bin parity —
-        # the native packer would crop them)
-        from ..data.pipeline import MAX_CANVAS
-        big = np.maximum(heights, widths) > MAX_CANVAS
-        big_rows = {}
-        if big.any():
-            bsel = np.nonzero(big)[0]
-            imgs = [roi_buf[int(starts[j]):int(starts[j]) +
-                            int(heights[j]) * int(widths[j])]
-                    .reshape(int(heights[j]), int(widths[j]))
-                    for j in bsel]
-            bprobs = self.engine.predict_images(imgs)
-            big_rows = {int(keep[j] + 1): bprobs[k]
-                        for k, j in enumerate(bsel)}
-            norm = np.nonzero(~big)[0]
-            keep, heights, widths, starts = (keep[norm], heights[norm],
-                                             widths[norm], starts[norm])
+        big_rows, keep, heights, widths, starts = _split_oversized(
+            self.engine.predict_images, roi_buf, keep, heights, widths,
+            starts)
         if keep.size == 0:  # bin was ALL oversized — complete immediately
             ordered = sorted(big_rows)
             self.on_result(bin_obj, ordered,
@@ -393,10 +385,18 @@ def _bin_fmt(bin_obj):
 
 
 def parse_filter(filter_arg):
-    """IN/OUT + keywords or keyword-files (neuston_net.py:199-207)."""
+    """IN/OUT + keywords or keyword-files (neuston_net.py:199-207).
+
+    The mode is validated loudly: the reference instantiates an
+    ArgumentTypeError without raising it (neuston_net.py:166-170), so a
+    typo like `--filter in ...` silently classified EVERY bin (QUIRKS.md,
+    FIXED)."""
     if not filter_arg:
         return None, []
     mode = filter_arg[0]
+    if mode not in ("IN", "OUT"):
+        raise ValueError('--filter mode must be "IN" or "OUT" (got {!r})'
+                         .format(mode))
     keywords = []
     for keyword in filter_arg[1:]:
         if os.path.isfile(keyword):
@@ -412,13 +412,10 @@ def do_run(args, engine=None):
         # --precision is honored on RUN too: auto = bf16 on TPU (measured
         # score deltas vs fp32 quantified in QUIRKS.md / test_bf16_infer.py),
         # fp32 = reference-exact inference at ~1/3 TPU throughput
-        precision = getattr(args, "precision", None)
-        dtype = None
-        if precision in ("bf16", "fp32", "f32"):
-            import jax.numpy as _jnp
-            dtype = _jnp.bfloat16 if precision == "bf16" else _jnp.float32
-        engine = InferenceEngine(args.MODEL, batch_size=args.batch_size,
-                                 dtype=dtype)
+        from ..utils.config import resolve_dtype
+        engine = InferenceEngine(
+            args.MODEL, batch_size=args.batch_size,
+            dtype=resolve_dtype(getattr(args, "precision", None)))
     import random as _random
     _random.seed(engine.seed)
 
@@ -456,12 +453,22 @@ def do_run(args, engine=None):
         agg_counts = np.zeros(len(engine.classes), np.int64)
         agg_hist = np.zeros(SCORE_HIST_BINS, np.int64)
     agg_total = 0
+    n_errors_total = 0
+
+    def rank_suffixed(fname):
+        """Per-process output name in a multi-host fleet: each process only
+        sees its own bin shard, so hosts must not clobber one shared file
+        (last-writer-wins would under-report counts and hide errors)."""
+        if jax.process_count() == 1:
+            return fname
+        stem, ext = os.path.splitext(fname)
+        return "{}.r{}{}".format(stem, jax.process_index(), ext)
 
     def write_summary(n_done, error_bins):
         if not summary_file:
             return
         import json as _json
-        path = os.path.join(args.outdir, summary_file)
+        path = os.path.join(args.outdir, rank_suffixed(summary_file))
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = dict(
             version="v3", run_id=args.RUN_ID, model_id=engine.model_id,
@@ -471,9 +478,9 @@ def do_run(args, engine=None):
                           zip(engine.classes, agg_counts)},
             score_histogram=dict(bins=len(agg_hist), range=[0, 1],
                                  counts=[int(x) for x in agg_hist]),
-            n_errors=len(error_bins),
+            n_errors=n_errors_total,
             errors=[dict(bin=str(b), type=type(e).__name__, message=str(e))
-                    for b, e in error_bins[:100]])
+                    for b, e in error_bins[-100:]])  # most RECENT
         tmp = path + ".tmp"
         with open(tmp, "w") as f:  # atomic swap: watch consumers may poll
             _json.dump(payload, f, indent=1)
@@ -499,7 +506,8 @@ def do_run(args, engine=None):
             raise ValueError("--watch requires SRC to be a bin directory")
         # quiescence window: a bin whose files changed within the last
         # `settle` seconds may still be mid-acquisition — defer it
-        settle = float(getattr(args, "watch_settle", None) or watch or 0)
+        ws = getattr(args, "watch_settle", None)
+        settle = float(ws if ws is not None else (watch or 0))
 
         def make_dd():
             """(Re)scan SRC — per pass under --watch so new bins appear."""
@@ -531,7 +539,8 @@ def do_run(args, engine=None):
         # outputs) — fail loudly instead.
         proc_idx, proc_cnt = jax.process_index(), jax.process_count()
 
-        error_bins = []
+        error_bins = []   # most recent MAX_ERRORS only (bounded for --watch)
+        MAX_ERRORS = 200
         n_done = 0
         # failed bins retry with exponential backoff (in passes) instead of
         # being frozen for the session — a transient NFS hiccup in a months-
@@ -541,7 +550,11 @@ def do_run(args, engine=None):
         pass_no = 0
 
         def record_error(bin_obj, e):
+            nonlocal n_errors_total
+            n_errors_total += 1
             error_bins.append((bin_obj, e))
+            if len(error_bins) > MAX_ERRORS:  # bounded: a run-forever
+                del error_bins[0]             # service must stay O(1) memory
             n = fail_retry.get(str(bin_obj), (0, 0))[0] + 1
             backoff = min(2 ** n, 64)
             fail_retry[str(bin_obj)] = (n, pass_no + backoff)
@@ -691,7 +704,8 @@ def do_run(args, engine=None):
             if agg_plots and agg_total:
                 for fname, *plot_params in agg_plots:
                     save_run_plots(
-                        os.path.join(args.outdir, fname), plot_params,
+                        os.path.join(args.outdir, rank_suffixed(fname)),
+                        plot_params,
                         class_labels=engine.classes, counts=agg_counts,
                         score_hist=agg_hist, total=agg_total,
                         title="{} ({} bins)".format(args.RUN_ID, n_done))
@@ -721,13 +735,19 @@ def do_run(args, engine=None):
         print("\nRUN IS DONE ({} bins)".format(n_done))
         if error_bins:
             print("The following bins failed; they were not processed:")
+            if n_errors_total > len(error_bins):
+                print("  (showing the most recent {} of {} failures)".format(
+                    len(error_bins), n_errors_total))
             for bin_obj, err in error_bins:
                 print(bin_obj, type(err), err)
 
     else:  # IMAGES
         img_paths = list_image_paths(args.SRC, filter_mode, filter_keywords)
         assert len(img_paths) > 0, "No images to process"
-        loader = HostLoader(img_paths, batch_size=args.batch_size,
+        # engine.batch_size, NOT args.batch_size: the engine rounds its
+        # batch up to a multiple of the local device count — a loader batch
+        # of the raw size would violate the jit's 'data' in_sharding
+        loader = HostLoader(img_paths, batch_size=engine.batch_size,
                             num_workers=args.loaders, rgb=True)
         import contextlib
         ctx = (jax.profiler.trace(os.path.join(args.outdir, "profile"))

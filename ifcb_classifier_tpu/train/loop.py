@@ -55,15 +55,8 @@ def seed_everything(seed):
     return seed
 
 
-def default_compute_dtype():
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-
-
-def _resolve_dtype(precision: str | None):
-    if precision in (None, "auto"):
-        return default_compute_dtype()
-    return {"bf16": jnp.bfloat16, "fp32": jnp.float32,
-            "f32": jnp.float32}[precision]
+from ..utils.config import default_compute_dtype  # noqa: F401 (re-export)
+from ..utils.config import resolve_dtype as _resolve_dtype
 
 
 class EpochCSV:
@@ -271,6 +264,7 @@ def do_training(args):
     best_ckpt_path = None
     start_epoch = 0
     profile_steps = int(getattr(args, "profile", 0) or 0)
+    profile_open = False  # trace started but not yet stopped
 
     # mid-training resume (beyond-reference capability, SURVEY.md §5.4):
     # chkpts/last.state carries params+opt moments+loop bookkeeping
@@ -368,6 +362,7 @@ def do_training(args):
             rng, rng_sub = jax.random.split(rng)
             if profile_steps and step_count == 2:
                 jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
+                profile_open = True
             batch = put_batch(dict(canvas=b["canvas"], sizes=b["sizes"],
                                    labels=np.asarray(b["labels"]),
                                    mask=np.asarray(b["mask"])))
@@ -378,6 +373,7 @@ def do_training(args):
             if profile_steps and step_count == 2 + profile_steps:
                 jax.profiler.stop_trace()
                 profile_steps = 0
+                profile_open = False
         agg_train_loss = float(np.sum(jax.device_get(epoch_losses),
                                       dtype=np.float64))
         train_time = time.time() - t0
@@ -459,6 +455,9 @@ def do_training(args):
                       f"(no improvement for {args.estop} epochs)")
                 break
 
+    if profile_open:  # run ended before N profiled steps — flush the trace
+        jax.profiler.stop_trace()
+
     # Copy best model (neuston_net.py:117-120)
     output_path = os.path.join(args.outdir, args.model_id + ".ptl")
     if best_ckpt_path:
@@ -467,7 +466,7 @@ def do_training(args):
         print(f"Best model: {output_path}")
 
     # Logs (neuston_net.py:122-129)
-    if args.epochs_log:
+    if args.epochs_log and epoch_csv.rows:  # no epochs ran -> no csv file
         from shutil import copyfile
         copyfile(epoch_csv.path, os.path.join(args.outdir, args.epochs_log))
     if args.args_log:
@@ -476,7 +475,8 @@ def do_training(args):
 
     # Export (the reference's inline --onnx path, neuston_net.py:131-160;
     # here a StableHLO artifact + .classes file)
-    if getattr(args, "onnx", False) or getattr(args, "export", False):
+    if (getattr(args, "onnx", False) or getattr(args, "export", False)) \
+            and best_ckpt_path:
         from ..export import export_model
         export_model(output_path,
                      os.path.join(args.outdir, args.model_id + ".stablehlo"))

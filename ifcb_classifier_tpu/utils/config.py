@@ -73,3 +73,21 @@ def hparams_dict(args) -> dict:
     the model and pipeline."""
     keep = vars(args).copy()
     return keep
+
+
+def default_compute_dtype():
+    """bf16 on TPU, f32 elsewhere — the one place this policy lives."""
+    import jax
+    import jax.numpy as jnp
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def resolve_dtype(precision):
+    """--precision string -> jnp dtype (None/'auto' -> backend default).
+    Shared by TRAIN, RUN, and the CLI engine construction so the precision
+    surface cannot drift between paths."""
+    import jax.numpy as jnp
+    if precision in (None, "auto"):
+        return default_compute_dtype()
+    return {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+            "f32": jnp.float32}[precision]

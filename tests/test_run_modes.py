@@ -657,3 +657,79 @@ class TestManifestAndDiscoveryFixes:
         for b in ld:
             assert b["mask"].all()          # no wasted masked rows
             assert (b["indices"] < 8).all()  # pads never drawn
+
+
+class TestOrchestrationReviewFixes:
+    """Third review batch: precision plumbing, filter validation, settle=0,
+    rank-suffixed fleet outputs, degenerate-run guards."""
+
+    def test_cli_precision_reaches_engine(self, ckpt, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu import cli
+        from ifcb_classifier_tpu.infer import runner
+        seen = {}
+
+        class Probe:
+            def __init__(self, path, batch_size=108, dtype=None):
+                seen["dtype"] = dtype
+                raise RuntimeError("probe stop")
+
+        monkeypatch.setattr(runner, "InferenceEngine", Probe)
+        with pytest.raises(RuntimeError, match="probe stop"):
+            cli.main_cli(["--precision", "bf16", "RUN", "src", ckpt, "rid"])
+        assert seen["dtype"] == jnp.bfloat16
+        with pytest.raises(RuntimeError, match="probe stop"):
+            cli.main_cli(["--precision", "fp32", "RUN", "src", ckpt, "rid"])
+        assert seen["dtype"] == jnp.float32
+
+    def test_filter_mode_validated(self, ckpt, bin_tree, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        with pytest.raises(ValueError, match='"IN" or "OUT"'):
+            do_run(run_args(str(bin_tree), ckpt, str(tmp_path / "o"),
+                            filter=["in", "D2024"]))
+
+    def test_watch_settle_zero_honored(self, ckpt, tmp_path, monkeypatch):
+        """--watch-settle 0 must mean NO settle delay, not 'unset'."""
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20250701T000000_IFCB900",
+                  [make_roi(10, 12, 1)], 2)  # mtime = now
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_settle=0.0, watch_passes=1))
+        assert os.listdir(out) == ["D20250701T000000_IFCB900.json"]
+
+    def test_fleet_summary_rank_suffixed(self, ckpt, tmp_path, monkeypatch):
+        import jax
+        from ifcb_classifier_tpu.infer.runner import do_run
+        root = tmp_path / "bins"
+        for i in (1, 2):
+            write_bin(str(root), f"D2025070{i + 1}T000000_IFCB900",
+                      [make_roi(10, 12, i)], 2)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        out = str(tmp_path / "out")
+        do_run(run_args(str(root), ckpt, out, summary="s.json"))
+        files = os.listdir(out)
+        assert "s.r1.json" in files and "s.json" not in files
+
+    def test_train_emax0_and_profile_flush(self, tmp_path):
+        from test_train_loop import make_args
+        from ifcb_classifier_tpu.train.loop import do_training
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 12, "b": 12},
+                                             size=(20, 20))
+            # emax=0: zero epochs must end cleanly, no artifact crashes
+            do_training(make_args(src, str(tmp_path / "o1"), emax=0, emin=0,
+                                  onnx=True))
+            # --profile larger than total steps (trace starts at step 3 of
+            # ~5): the end-of-run flush must close and write it
+            do_training(make_args(src, str(tmp_path / "o2"), emax=1, emin=0,
+                                  batch_size=4, profile=500))
+            prof = os.path.join(tmp_path, "o2", "profile")
+            assert os.path.isdir(prof)
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)

@@ -1,6 +1,13 @@
 """Headline benchmark: Inception-v3 @299 training images/sec/chip (bf16).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+review fields: per-trial img/s, spread, and MFU (XLA-counted FLOPs per step
+against the chip's peak — the roofline accounting VERDICT r2 asked for).
+
+Methodology (CLAUDE.md benchmarking rules): value = MEDIAN of
+BENCH_TRIALS (default 5) trials of BENCH_ITERS (default 50) device-resident
+steps each; every trial ends with real device->host fetches (loss + param
+checksum) because async completion over the axon tunnel over-reports.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` divides by
 the estimated reference single-GPU throughput recorded in BENCH_BASELINE.json
@@ -10,6 +17,7 @@ falling back to the measured torch-CPU stand-in and then to 1.0.
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +35,50 @@ def _vs_baseline(value: float, *keys):
             if base.get(k):
                 return round(value / float(base[k]), 2)
     return 1.0
+
+
+# peak dense bf16 TFLOP/s per chip, by jax device_kind substring
+_PEAK_TFLOPS = {"v5 lite": 197, "v5e": 197, "v4": 275, "v5p": 459,
+                "v6 lite": 918, "v6e": 918, "trillium": 918}
+
+
+def _peak_flops():
+    """Chip peak in FLOP/s (bf16). BENCH_PEAK_TFLOPS overrides; None if the
+    chip is unknown (MFU is then omitted rather than guessed)."""
+    import jax
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    for key, tf in _PEAK_TFLOPS.items():
+        if key in kind:
+            return tf * 1e12
+    return None
+
+
+def _xla_flops(compiled):
+    """XLA's own FLOP count for one executable, or None if the backend
+    doesn't expose cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops_per_call, calls_per_sec):
+    """{"mfu_pct", "tflops_per_sec", ...} — empty when unknowable."""
+    out = {}
+    if flops_per_call:
+        achieved = flops_per_call * calls_per_sec
+        out["tflops_per_sec"] = round(achieved / 1e12, 2)
+        peak = _peak_flops()
+        if peak:
+            out["mfu_pct"] = round(100.0 * achieved / peak, 2)
+    return out
 
 
 def bench_infer():
@@ -52,6 +104,16 @@ def bench_infer():
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, 299, 299, 3), jnp.float32), train=True)
     params, batch_stats = variables["params"], variables["batch_stats"]
+    # BN→conv folding is the InferenceEngine default (models/fold.py);
+    # bench the product path. BENCH_FOLD=0 A/Bs the unfolded graph.
+    folded = os.environ.get("BENCH_FOLD", "1") != "0"
+    if folded:
+        from ifcb_classifier_tpu.models.fold import fold_params
+        params, batch_stats = fold_params(
+            "inception_v3", jax.device_get(params),
+            jax.device_get(batch_stats))
+        model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16,
+                                    fold_bn=True)
     predict = make_predict_step(model)
 
     @jax.jit
@@ -64,7 +126,7 @@ def bench_infer():
 
     # synthetic .roi buffer: 4096 ROIs of plausible sizes
     rng = np.random.RandomState(0)
-    n_rois = 4096
+    n_rois = int(os.environ.get("BENCH_ROIS", "4096"))
     hs = rng.randint(24, 120, n_rois).astype(np.int64)
     ws = rng.randint(24, 120, n_rois).astype(np.int64)
     starts = np.zeros(n_rois, np.int64)
@@ -91,29 +153,40 @@ def bench_infer():
     dev_chunks = [(jax.device_put(c), jax.device_put(s), n)
                   for c, s, n in chunks]
 
-    # warm/compile
-    acc = jnp.zeros((), jnp.float32)
-    probs, acc = run_batch(params, batch_stats, *dev_chunks[0][:2], acc)
+    # compile via lower() so XLA's FLOP count is available for MFU
+    acc0 = jnp.zeros((), jnp.float32)
+    compiled = run_batch.lower(params, batch_stats,
+                               *dev_chunks[0][:2], acc0).compile()
+    batch_flops = _xla_flops(compiled)
+    probs, acc = compiled(params, batch_stats, *dev_chunks[0][:2], acc0)
     _ = float(acc)
 
-    best = float("inf")
-    for _ in range(3):
+    n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
+    trials = []
+    for _t in range(n_trials):
         acc = jnp.zeros((), jnp.float32)
         done = 0
         t0 = time.perf_counter()
         for canvas, sizes, n in dev_chunks:
-            probs, acc = run_batch(params, batch_stats, canvas, sizes, acc)
+            probs, acc = compiled(params, batch_stats, canvas, sizes, acc)
             done += n
         _ = float(acc)  # forces the whole dependency chain
-        best = min(best, (time.perf_counter() - t0) / done)
-    ips = 1.0 / best
-    print(json.dumps({
+        trials.append(done / (time.perf_counter() - t0))
+    ips = statistics.median(trials)
+    payload = {
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",
         "value": round(ips, 2), "unit": "images/sec/chip",
         "host_pack_imgs_per_sec": round(pack_rate, 0),
+        "bn_folded": folded,
+        "trials": [round(t, 1) for t in trials],
+        "spread_pct": round(100.0 * (max(trials) - min(trials)) / ips, 2),
         "vs_baseline": _vs_baseline(
             ips, "ref_gpu_estimate_infer_imgs_per_sec",
-            "infer_imgs_per_sec")}))
+            "infer_imgs_per_sec")}
+    if batch_flops:
+        payload["flops_per_img"] = round(batch_flops / B / 1e9, 2)  # GF
+        payload.update(_mfu_fields(batch_flops, ips / B))
+    print(json.dumps(payload))
 
 
 def main():
@@ -145,35 +218,53 @@ def main():
                  labels=jnp.asarray(rng.randint(0, 50, BATCH), jnp.int32),
                  mask=jnp.ones((BATCH,), bool))
 
-    # warmup / compile (2 steps: the first post-donation step also differs)
+    # compile once via lower() so XLA's own FLOP count is available for MFU
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    step_flops = _xla_flops(compiled)
+
+    # warmup (2 steps: the first post-donation step also differs)
     for i in range(2):
-        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        state, loss = compiled(state, batch, jax.random.PRNGKey(i))
     _ = float(loss)
 
     # NOTE: through the axon tunnel, block_until_ready() alone over-reports
     # throughput (async completion signals are unreliable on this
     # experimental platform) — force REAL device->host fetches of the loss
     # and a param checksum so timing covers the whole dependency chain.
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, loss = step(state, batch, jax.random.PRNGKey(i))
-    _ = float(loss)
-    # param checksum forces a real device fetch; first leaf — model-agnostic
-    # (efficientnet etc. have no "fc" head)
-    leaf = jax.tree_util.tree_leaves(state.params)[0]
-    _ = float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
-    dt = time.perf_counter() - t0
-    imgs_per_sec = BATCH * iters / dt
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
+    trials = []
+    for _t in range(n_trials):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, loss = compiled(state, batch, jax.random.PRNGKey(i))
+        _ = float(loss)
+        # param checksum forces a real device fetch; first leaf —
+        # model-agnostic (efficientnet etc. have no "fc" head)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        _ = float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
+        dt = time.perf_counter() - t0
+        trials.append(BATCH * iters / dt)
 
+    imgs_per_sec = statistics.median(trials)
+    spread_pct = round(100.0 * (max(trials) - min(trials)) / imgs_per_sec, 2)
     vs_baseline = _vs_baseline(imgs_per_sec, "ref_gpu_estimate_imgs_per_sec",
                                "imgs_per_sec")
-    print(json.dumps({
+    payload = {
         "metric": f"{model_name}_{size}_bf16_train_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+        "trials": [round(t, 1) for t in trials],
+        "iters_per_trial": iters,
+        "batch": BATCH,
+        "spread_pct": spread_pct,
+    }
+    if step_flops:
+        payload["xla_flops_per_step"] = step_flops
+        payload["flops_per_img"] = round(step_flops / BATCH / 1e9, 2)  # GF
+        payload.update(_mfu_fields(step_flops, imgs_per_sec / BATCH))
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

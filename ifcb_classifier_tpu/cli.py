@@ -55,6 +55,13 @@ def argparse_nn(parser=None):
                         help="Rematerialize activations in backprop "
                              "(~1.3x FLOPs for much lower memory; enables "
                              "larger --batch)")
+    common.add_argument("--mesh", metavar="DATA[xMODEL]", default="auto",
+                        help="Device-mesh layout: batch shards over DATA "
+                             "devices, classifier-head kernels over MODEL "
+                             '(tensor parallelism). E.g. "4x2" on 8 chips. '
+                             "Default auto = all devices on DATA (pure "
+                             "data-parallel). DATAxMODEL must equal the "
+                             "visible device count.")
 
     argparse_nn_train(train)
     argparse_nn_run(run)
@@ -277,7 +284,8 @@ def main_cli(argv=None):
         from .utils.config import resolve_dtype
         engine = InferenceEngine(
             args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(getattr(args, "precision", None)))
+            dtype=resolve_dtype(getattr(args, "precision", None)),
+            mesh=getattr(args, "mesh", None))
     proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
     main(args, engine=engine)
 

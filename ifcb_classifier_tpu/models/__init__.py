@@ -39,17 +39,26 @@ def input_size_for(model_name: str) -> int:
 
 
 def get_namebrand_model(model_name: str, num_o_classes: int, pretrained: bool = False,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, fold_bn: bool = False):
     """name → flax Module with an `num_classes`-way head.
 
     Mirrors neuston_models.py:22-45 dispatch (same names, same head surgery
     semantics — the returned module's final layer is sized to the dataset).
     Raises KeyError for unknown names, like the reference (:44).
+
+    fold_bn=True builds the eval-only inference variant whose BatchNorms are
+    pre-folded into conv kernels/biases (see models/fold.py for the param
+    transform + the families that support it).
     """
+    if fold_bn:
+        from .fold import supports_fold
+        if not supports_fold(model_name):
+            raise ValueError(f"fold_bn unsupported for {model_name!r}")
     if model_name == "inception_v3":
         from .inception import InceptionV3
         return InceptionV3(num_classes=num_o_classes, aux_logits=True,
-                           transform_input=bool(pretrained), dtype=dtype)
+                           transform_input=bool(pretrained), dtype=dtype,
+                           fold=fold_bn)
     elif model_name == "alexnet":
         from .alexnet import AlexNet
         return AlexNet(num_classes=num_o_classes, dtype=dtype)
@@ -67,7 +76,8 @@ def get_namebrand_model(model_name: str, num_o_classes: int, pretrained: bool = 
         from .resnet import ResNet, RESNET_CFGS
         if model_name not in RESNET_CFGS:
             raise KeyError("model unknown!")
-        return ResNet(variant=model_name, num_classes=num_o_classes, dtype=dtype)
+        return ResNet(variant=model_name, num_classes=num_o_classes,
+                      dtype=dtype, fold=fold_bn)
     elif model_name.startswith("densenet"):
         from .densenet import DenseNet, DENSENET_CFGS
         if model_name not in DENSENET_CFGS:

@@ -28,24 +28,28 @@ class BasicConv2d(nn.Module):
     stride: int = 1
     padding: tuple = (0, 0)
     dtype: Any = jnp.float32
+    fold: bool = False  # eval-only: BN pre-folded into conv kernel/bias
+    # (models/fold.py) — conv carries a bias, the BN op is absent
 
     @nn.compact
     def __call__(self, x, train: bool):
         p = self.padding
         x = nn.Conv(self.features, self.kernel_size, strides=(self.stride,) * 2,
-                    padding=((p[0], p[0]), (p[1], p[1])), use_bias=False,
+                    padding=((p[0], p[0]), (p[1], p[1])), use_bias=self.fold,
                     dtype=self.dtype, name="conv")(x)
-        x = TorchBN(momentum=0.1, epsilon=0.001, dtype=self.dtype,
-                    name="bn")(x, use_running_average=not train)
+        if not self.fold:
+            x = TorchBN(momentum=0.1, epsilon=0.001, dtype=self.dtype,
+                        name="bn")(x, use_running_average=not train)
         return nn.relu(x)
 
 
-def _bc(features, k, stride=1, padding=(0, 0), dtype=jnp.float32, name=None):
+def _bc(features, k, stride=1, padding=(0, 0), dtype=jnp.float32, name=None,
+        fold=False):
     if isinstance(k, int):
         k = (k, k)
     if isinstance(padding, int):
         padding = (padding, padding)
-    return BasicConv2d(features, k, stride, padding, dtype, name=name)
+    return BasicConv2d(features, k, stride, padding, dtype, fold, name=name)
 
 
 class SpaceToDepthStemConv(nn.Module):
@@ -103,31 +107,33 @@ class BasicConv2dS2D(nn.Module):
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        d = self.dtype
-        b1 = _bc(64, 1, dtype=d, name="branch1x1")(x, train)
-        b5 = _bc(48, 1, dtype=d, name="branch5x5_1")(x, train)
-        b5 = _bc(64, 5, padding=2, dtype=d, name="branch5x5_2")(b5, train)
-        b3 = _bc(64, 1, dtype=d, name="branch3x3dbl_1")(x, train)
-        b3 = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_2")(b3, train)
-        b3 = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_3")(b3, train)
+        d, f = self.dtype, self.fold
+        b1 = _bc(64, 1, dtype=d, fold=f, name="branch1x1")(x, train)
+        b5 = _bc(48, 1, dtype=d, fold=f, name="branch5x5_1")(x, train)
+        b5 = _bc(64, 5, padding=2, dtype=d, fold=f, name="branch5x5_2")(b5, train)
+        b3 = _bc(64, 1, dtype=d, fold=f, name="branch3x3dbl_1")(x, train)
+        b3 = _bc(96, 3, padding=1, dtype=d, fold=f, name="branch3x3dbl_2")(b3, train)
+        b3 = _bc(96, 3, padding=1, dtype=d, fold=f, name="branch3x3dbl_3")(b3, train)
         bp = avg_pool(x, 3, 1, 1)
-        bp = _bc(self.pool_features, 1, dtype=d, name="branch_pool")(bp, train)
+        bp = _bc(self.pool_features, 1, dtype=d, fold=f, name="branch_pool")(bp, train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
 class InceptionB(nn.Module):
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        d = self.dtype
-        b3 = _bc(384, 3, stride=2, dtype=d, name="branch3x3")(x, train)
-        bd = _bc(64, 1, dtype=d, name="branch3x3dbl_1")(x, train)
-        bd = _bc(96, 3, padding=1, dtype=d, name="branch3x3dbl_2")(bd, train)
-        bd = _bc(96, 3, stride=2, dtype=d, name="branch3x3dbl_3")(bd, train)
+        d, f = self.dtype, self.fold
+        b3 = _bc(384, 3, stride=2, dtype=d, fold=f, name="branch3x3")(x, train)
+        bd = _bc(64, 1, dtype=d, fold=f, name="branch3x3dbl_1")(x, train)
+        bd = _bc(96, 3, padding=1, dtype=d, fold=f, name="branch3x3dbl_2")(bd, train)
+        bd = _bc(96, 3, stride=2, dtype=d, fold=f, name="branch3x3dbl_3")(bd, train)
         bp = max_pool(x, 3, 2)
         return jnp.concatenate([b3, bd, bp], axis=-1)
 
@@ -135,70 +141,74 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     channels_7x7: int
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        d, c7 = self.dtype, self.channels_7x7
-        b1 = _bc(192, 1, dtype=d, name="branch1x1")(x, train)
-        b7 = _bc(c7, 1, dtype=d, name="branch7x7_1")(x, train)
-        b7 = _bc(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7_2")(b7, train)
-        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, name="branch7x7_3")(b7, train)
-        bd = _bc(c7, 1, dtype=d, name="branch7x7dbl_1")(x, train)
-        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, name="branch7x7dbl_2")(bd, train)
-        bd = _bc(c7, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_3")(bd, train)
-        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, name="branch7x7dbl_4")(bd, train)
-        bd = _bc(192, (1, 7), padding=(0, 3), dtype=d, name="branch7x7dbl_5")(bd, train)
+        d, c7, f = self.dtype, self.channels_7x7, self.fold
+        b1 = _bc(192, 1, dtype=d, fold=f, name="branch1x1")(x, train)
+        b7 = _bc(c7, 1, dtype=d, fold=f, name="branch7x7_1")(x, train)
+        b7 = _bc(c7, (1, 7), padding=(0, 3), dtype=d, fold=f, name="branch7x7_2")(b7, train)
+        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, fold=f, name="branch7x7_3")(b7, train)
+        bd = _bc(c7, 1, dtype=d, fold=f, name="branch7x7dbl_1")(x, train)
+        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, fold=f, name="branch7x7dbl_2")(bd, train)
+        bd = _bc(c7, (1, 7), padding=(0, 3), dtype=d, fold=f, name="branch7x7dbl_3")(bd, train)
+        bd = _bc(c7, (7, 1), padding=(3, 0), dtype=d, fold=f, name="branch7x7dbl_4")(bd, train)
+        bd = _bc(192, (1, 7), padding=(0, 3), dtype=d, fold=f, name="branch7x7dbl_5")(bd, train)
         bp = avg_pool(x, 3, 1, 1)
-        bp = _bc(192, 1, dtype=d, name="branch_pool")(bp, train)
+        bp = _bc(192, 1, dtype=d, fold=f, name="branch_pool")(bp, train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
 class InceptionD(nn.Module):
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        d = self.dtype
-        b3 = _bc(192, 1, dtype=d, name="branch3x3_1")(x, train)
-        b3 = _bc(320, 3, stride=2, dtype=d, name="branch3x3_2")(b3, train)
-        b7 = _bc(192, 1, dtype=d, name="branch7x7x3_1")(x, train)
-        b7 = _bc(192, (1, 7), padding=(0, 3), dtype=d, name="branch7x7x3_2")(b7, train)
-        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, name="branch7x7x3_3")(b7, train)
-        b7 = _bc(192, 3, stride=2, dtype=d, name="branch7x7x3_4")(b7, train)
+        d, f = self.dtype, self.fold
+        b3 = _bc(192, 1, dtype=d, fold=f, name="branch3x3_1")(x, train)
+        b3 = _bc(320, 3, stride=2, dtype=d, fold=f, name="branch3x3_2")(b3, train)
+        b7 = _bc(192, 1, dtype=d, fold=f, name="branch7x7x3_1")(x, train)
+        b7 = _bc(192, (1, 7), padding=(0, 3), dtype=d, fold=f, name="branch7x7x3_2")(b7, train)
+        b7 = _bc(192, (7, 1), padding=(3, 0), dtype=d, fold=f, name="branch7x7x3_3")(b7, train)
+        b7 = _bc(192, 3, stride=2, dtype=d, fold=f, name="branch7x7x3_4")(b7, train)
         bp = max_pool(x, 3, 2)
         return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
-        d = self.dtype
-        b1 = _bc(320, 1, dtype=d, name="branch1x1")(x, train)
-        b3 = _bc(384, 1, dtype=d, name="branch3x3_1")(x, train)
-        b3a = _bc(384, (1, 3), padding=(0, 1), dtype=d, name="branch3x3_2a")(b3, train)
-        b3b = _bc(384, (3, 1), padding=(1, 0), dtype=d, name="branch3x3_2b")(b3, train)
+        d, f = self.dtype, self.fold
+        b1 = _bc(320, 1, dtype=d, fold=f, name="branch1x1")(x, train)
+        b3 = _bc(384, 1, dtype=d, fold=f, name="branch3x3_1")(x, train)
+        b3a = _bc(384, (1, 3), padding=(0, 1), dtype=d, fold=f, name="branch3x3_2a")(b3, train)
+        b3b = _bc(384, (3, 1), padding=(1, 0), dtype=d, fold=f, name="branch3x3_2b")(b3, train)
         b3 = jnp.concatenate([b3a, b3b], axis=-1)
-        bd = _bc(448, 1, dtype=d, name="branch3x3dbl_1")(x, train)
-        bd = _bc(384, 3, padding=1, dtype=d, name="branch3x3dbl_2")(bd, train)
-        bda = _bc(384, (1, 3), padding=(0, 1), dtype=d, name="branch3x3dbl_3a")(bd, train)
-        bdb = _bc(384, (3, 1), padding=(1, 0), dtype=d, name="branch3x3dbl_3b")(bd, train)
+        bd = _bc(448, 1, dtype=d, fold=f, name="branch3x3dbl_1")(x, train)
+        bd = _bc(384, 3, padding=1, dtype=d, fold=f, name="branch3x3dbl_2")(bd, train)
+        bda = _bc(384, (1, 3), padding=(0, 1), dtype=d, fold=f, name="branch3x3dbl_3a")(bd, train)
+        bdb = _bc(384, (3, 1), padding=(1, 0), dtype=d, fold=f, name="branch3x3dbl_3b")(bd, train)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         bp = avg_pool(x, 3, 1, 1)
-        bp = _bc(192, 1, dtype=d, name="branch_pool")(bp, train)
+        bp = _bc(192, 1, dtype=d, fold=f, name="branch_pool")(bp, train)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionAux(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train):
         x = avg_pool(x, 5, 3)
-        x = _bc(128, 1, dtype=self.dtype, name="conv0")(x, train)
-        x = _bc(768, 5, dtype=self.dtype, name="conv1")(x, train)
+        x = _bc(128, 1, dtype=self.dtype, fold=self.fold, name="conv0")(x, train)
+        x = _bc(768, 5, dtype=self.dtype, fold=self.fold, name="conv1")(x, train)
         x = global_avg_pool(x)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
 
@@ -210,10 +220,16 @@ class InceptionV3(nn.Module):
     dropout_rate: float = 0.5  # torchvision Inception3 `dropout` knob
     stem_s2d: bool = False  # space-to-depth first conv (exact, TPU-shaped)
     dtype: Any = jnp.float32
+    fold: bool = False  # BN folded into convs (eval-only; models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        d = self.dtype
+        d, f = self.dtype, self.fold
+        if f and train:
+            raise ValueError("fold_bn model is eval-only (BN is folded "
+                             "into conv weights with frozen stats)")
+        if f and self.stem_s2d:
+            raise ValueError("fold_bn + stem_s2d unsupported")
         x = x.astype(d)
         if self.transform_input:
             # torchvision pretrained-mode channel renormalization
@@ -225,21 +241,21 @@ class InceptionV3(nn.Module):
         if self.stem_s2d:
             x = BasicConv2dS2D(32, d, name="Conv2d_1a_3x3")(x, train)
         else:
-            x = _bc(32, 3, stride=2, dtype=d, name="Conv2d_1a_3x3")(x, train)
-        x = _bc(32, 3, dtype=d, name="Conv2d_2a_3x3")(x, train)
-        x = _bc(64, 3, padding=1, dtype=d, name="Conv2d_2b_3x3")(x, train)
+            x = _bc(32, 3, stride=2, dtype=d, fold=f, name="Conv2d_1a_3x3")(x, train)
+        x = _bc(32, 3, dtype=d, fold=f, name="Conv2d_2a_3x3")(x, train)
+        x = _bc(64, 3, padding=1, dtype=d, fold=f, name="Conv2d_2b_3x3")(x, train)
         x = max_pool(x, 3, 2)
-        x = _bc(80, 1, dtype=d, name="Conv2d_3b_1x1")(x, train)
-        x = _bc(192, 3, dtype=d, name="Conv2d_4a_3x3")(x, train)
+        x = _bc(80, 1, dtype=d, fold=f, name="Conv2d_3b_1x1")(x, train)
+        x = _bc(192, 3, dtype=d, fold=f, name="Conv2d_4a_3x3")(x, train)
         x = max_pool(x, 3, 2)
-        x = InceptionA(32, d, name="Mixed_5b")(x, train)
-        x = InceptionA(64, d, name="Mixed_5c")(x, train)
-        x = InceptionA(64, d, name="Mixed_5d")(x, train)
-        x = InceptionB(d, name="Mixed_6a")(x, train)
-        x = InceptionC(128, d, name="Mixed_6b")(x, train)
-        x = InceptionC(160, d, name="Mixed_6c")(x, train)
-        x = InceptionC(160, d, name="Mixed_6d")(x, train)
-        x = InceptionC(192, d, name="Mixed_6e")(x, train)
+        x = InceptionA(32, d, fold=f, name="Mixed_5b")(x, train)
+        x = InceptionA(64, d, fold=f, name="Mixed_5c")(x, train)
+        x = InceptionA(64, d, fold=f, name="Mixed_5d")(x, train)
+        x = InceptionB(d, fold=f, name="Mixed_6a")(x, train)
+        x = InceptionC(128, d, fold=f, name="Mixed_6b")(x, train)
+        x = InceptionC(160, d, fold=f, name="Mixed_6c")(x, train)
+        x = InceptionC(160, d, fold=f, name="Mixed_6d")(x, train)
+        x = InceptionC(192, d, fold=f, name="Mixed_6e")(x, train)
 
         aux = None
         if self.aux_logits and train:
@@ -253,11 +269,11 @@ class InceptionV3(nn.Module):
                     "inception_v3 training with aux head requires 299x299 "
                     f"inputs (Mixed_6e got {x.shape[1]}x{x.shape[2]}, "
                     "needs >=17x17)")
-            aux = InceptionAux(self.num_classes, d, name="AuxLogits")(x, train)
+            aux = InceptionAux(self.num_classes, d, fold=f, name="AuxLogits")(x, train)
 
-        x = InceptionD(d, name="Mixed_7a")(x, train)
-        x = InceptionE(d, name="Mixed_7b")(x, train)
-        x = InceptionE(d, name="Mixed_7c")(x, train)
+        x = InceptionD(d, fold=f, name="Mixed_7a")(x, train)
+        x = InceptionE(d, fold=f, name="Mixed_7b")(x, train)
+        x = InceptionE(d, fold=f, name="Mixed_7c")(x, train)
         x = global_avg_pool(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=d, name="fc")(x)

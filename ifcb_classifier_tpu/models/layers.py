@@ -8,7 +8,6 @@ weight porting (models/torch_port.py) mechanical.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.linen as nn
@@ -106,6 +105,8 @@ class BatchNormT(nn.Module):
     def __call__(self, x, train: bool):
         return TorchBN(momentum=0.1, epsilon=1e-5, dtype=self.dtype,
                        name="bn")(x, use_running_average=not train)
+
+
 def max_pool(x, window, stride, padding=0):
     """torch MaxPool2d: symmetric padding with -inf fill.
 

@@ -29,21 +29,27 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        f = self.fold
         identity = x
-        out = ConvT(self.planes, 3, self.stride, 1, use_bias=False,
+        out = ConvT(self.planes, 3, self.stride, 1, use_bias=f,
                     dtype=self.dtype, name="conv1")(x)
-        out = BatchNormT(dtype=self.dtype, name="bn1")(out, train)
+        if not f:
+            out = BatchNormT(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = ConvT(self.planes, 3, 1, 1, use_bias=False,
+        out = ConvT(self.planes, 3, 1, 1, use_bias=f,
                     dtype=self.dtype, name="conv2")(out)
-        out = BatchNormT(dtype=self.dtype, name="bn2")(out, train)
+        if not f:
+            out = BatchNormT(dtype=self.dtype, name="bn2")(out, train)
         if self.downsample:
-            identity = ConvT(self.planes, 1, self.stride, 0, use_bias=False,
+            identity = ConvT(self.planes, 1, self.stride, 0, use_bias=f,
                              dtype=self.dtype, name="ds_conv")(x)
-            identity = BatchNormT(dtype=self.dtype, name="ds_bn")(identity, train)
+            if not f:
+                identity = BatchNormT(dtype=self.dtype,
+                                      name="ds_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -53,25 +59,32 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
+        f = self.fold
         identity = x
-        out = ConvT(self.planes, 1, 1, 0, use_bias=False,
+        out = ConvT(self.planes, 1, 1, 0, use_bias=f,
                     dtype=self.dtype, name="conv1")(x)
-        out = BatchNormT(dtype=self.dtype, name="bn1")(out, train)
+        if not f:
+            out = BatchNormT(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = ConvT(self.planes, 3, self.stride, 1, use_bias=False,
+        out = ConvT(self.planes, 3, self.stride, 1, use_bias=f,
                     dtype=self.dtype, name="conv2")(out)
-        out = BatchNormT(dtype=self.dtype, name="bn2")(out, train)
+        if not f:
+            out = BatchNormT(dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
-        out = ConvT(self.planes * self.expansion, 1, 1, 0, use_bias=False,
+        out = ConvT(self.planes * self.expansion, 1, 1, 0, use_bias=f,
                     dtype=self.dtype, name="conv3")(out)
-        out = BatchNormT(dtype=self.dtype, name="bn3")(out, train)
+        if not f:
+            out = BatchNormT(dtype=self.dtype, name="bn3")(out, train)
         if self.downsample:
             identity = ConvT(self.planes * self.expansion, 1, self.stride, 0,
-                             use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            identity = BatchNormT(dtype=self.dtype, name="ds_bn")(identity, train)
+                             use_bias=f, dtype=self.dtype, name="ds_conv")(x)
+            if not f:
+                identity = BatchNormT(dtype=self.dtype,
+                                      name="ds_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -79,16 +92,22 @@ class ResNet(nn.Module):
     variant: str = "resnet18"
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold and train:
+            raise ValueError("fold_bn model is eval-only (BN is folded "
+                             "into conv weights with frozen stats)")
         block_kind, stage_sizes = RESNET_CFGS[self.variant]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
         expansion = 1 if block_kind == "basic" else 4
 
         x = x.astype(self.dtype)
-        x = ConvT(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = BatchNormT(dtype=self.dtype, name="bn1")(x, train)
+        x = ConvT(64, 7, 2, 3, use_bias=self.fold, dtype=self.dtype,
+                  name="conv1")(x)
+        if not self.fold:
+            x = BatchNormT(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
 
@@ -99,7 +118,7 @@ class ResNet(nn.Module):
                 stride = 2 if (stage > 0 and i == 0) else 1
                 needs_ds = (stride != 1) or (in_planes != planes * expansion)
                 x = block_cls(planes=planes, stride=stride, downsample=needs_ds,
-                              dtype=self.dtype,
+                              dtype=self.dtype, fold=self.fold,
                               name=f"layer{stage + 1}_{i}")(x, train)
                 in_planes = planes * expansion
 

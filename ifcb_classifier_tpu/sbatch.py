@@ -15,6 +15,7 @@ import argparse
 import os
 import subprocess
 import sys
+import tempfile
 
 SBATCH_TEMPLATE = """#!/bin/sh
 #SBATCH --job-name={JOB_NAME}
@@ -76,8 +77,10 @@ def main(parser):
         try:
             from .train.checkpoint import load_checkpoint
             model_id = load_checkpoint(args.MODEL)[2].get("model_id")
-        except Exception:  # ckpt not present at submit time (job chains):
-            # fall back to the file stem rather than refusing to submit
+        except Exception:  # ckpt not present at submit time (job chains)
+            model_id = None
+        if not model_id:  # missing hparams key must also hit the fallback,
+            # else the outdir renders as a literal 'None' directory
             model_id = os.path.splitext(os.path.basename(args.MODEL))[0]
         proc_outdir(args, model_id_for_run=model_id)
 
@@ -104,11 +107,20 @@ def main(parser):
     ofile_dict = dict(OUTDIR=getattr(args, "outdir", "."),
                       JOB_NAME=sbatch_dict["JOB_NAME"])
     if not args.dry_run:
-        tmp = "/tmp/ifcbnn_tmp.sbatch"
-        with open(tmp, "w") as f:
+        # unique temp file per submit — a fixed /tmp path races when two
+        # jobs are submitted concurrently (each would sbatch the other's
+        # script)
+        with tempfile.NamedTemporaryFile(
+                "w", prefix="ifcbnn_", suffix=".sbatch",
+                delete=False) as f:
             f.write(content)
-        resp = subprocess.run(["sbatch", tmp], universal_newlines=True,
-                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            tmp = f.name
+        try:
+            resp = subprocess.run(
+                ["sbatch", tmp], universal_newlines=True,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        finally:
+            os.unlink(tmp)
         if resp.returncode == 0:
             pid = resp.stdout.split()[-1]
             ofile_dict["PID"] = pid

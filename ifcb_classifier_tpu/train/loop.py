@@ -60,20 +60,27 @@ from ..utils.config import resolve_dtype as _resolve_dtype
 
 
 class EpochCSV:
-    """epochs.csv writer (the reference's hacked CSVLogger, scalars only,
-    neuston_net.py:87-95)."""
-
-    FIELDS = ["epoch", "best", "train_loss", "val_loss", "f1_macro",
-              "f1_weighted"]
+    """epochs.csv writer (the reference's hacked CSVLogger,
+    neuston_net.py:87-95): like Lightning's ExperimentWriter, the column set
+    is the UNION of every scalar metric ever logged (first-seen order), not a
+    fixed list — non-scalar values are dropped the same way the reference's
+    log_metrics hack filtered input_classes/outputs. A metric that appears
+    mid-run backfills empty cells for earlier epochs."""
 
     def __init__(self, path):
         self.path = path
         self.rows = []
 
     def log(self, **row):
-        self.rows.append({k: row.get(k) for k in self.FIELDS})
+        self.rows.append({k: v for k, v in row.items()
+                          if isinstance(v, (bool, int, float,
+                                            np.bool_, np.integer,
+                                            np.floating))})
+        fields = []
+        for r in self.rows:
+            fields.extend(k for k in r if k not in fields)
         with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self.FIELDS)
+            w = csv.DictWriter(f, fieldnames=fields)
             w.writeheader()
             w.writerows(self.rows)
 
@@ -204,22 +211,24 @@ def do_training(args):
                                          labels=raw["labels"],
                                          mask=raw["mask"]))
 
-    # Device mesh: with >1 device the batch shards over 'data' and the
-    # classifier head over 'model' automatically (parallel/mesh.py); XLA
-    # emits the gradient psums from the sharding annotations. Single device
-    # degenerates to plain jit.
+    # Device mesh: with >1 device the batch shards over 'data' and (with
+    # --mesh DATAxMODEL) the classifier head over 'model' (parallel/mesh.py);
+    # XLA emits the gradient psums/all-gathers from the sharding
+    # annotations. Single device degenerates to plain jit.
+    from ..utils.config import parse_mesh
     n_dev = len(jax.devices())  # global across processes
+    n_data, n_model = parse_mesh(getattr(args, "mesh", None), n_dev)
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
-        if args.batch_size % n_dev:
-            args.batch_size = -(-args.batch_size // n_dev) * n_dev
+        if args.batch_size % n_data:
+            args.batch_size = -(-args.batch_size // n_data) * n_data
             print(f"Rounded batch up to {args.batch_size} "
-                  f"(divisible by {n_dev} devices)")
+                  f"(divisible by {n_data} data-parallel devices)")
         local_batch = args.batch_size // n_proc
         train_loader.batch_size = local_batch
         val_loader.batch_size = local_batch
-        mesh = make_mesh(n_data=n_dev, n_model=1)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
         sh = state_shardings(state, mesh)
         state = jax.device_put(state, sh)
         train_step = jax.jit(fused_train,
@@ -242,8 +251,8 @@ def do_training(args):
                 return out
         else:
             put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
-        print(f"Data-parallel over {n_dev} devices "
-              f"({n_proc} process{'es' if n_proc > 1 else ''})")
+        print(f"Mesh: {n_data} data-parallel x {n_model} model-parallel "
+              f"devices ({n_proc} process{'es' if n_proc > 1 else ''})")
     else:
         train_step = jax.jit(fused_train, donate_argnums=0)
         eval_step = jax.jit(fused_eval)

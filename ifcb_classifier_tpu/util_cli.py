@@ -91,7 +91,7 @@ def calc_img_norm(args):
             minimum_images_per_class=args.class_min,
             maximum_images_per_class=args.class_max)
 
-    loader = HostLoader(nd.images, nd.targets, batch_size=int(args.batch_size),
+    loader = HostLoader(nd.images, nd.targets, batch_size=args.batch_size,
                         num_workers=4, shuffle=False)
 
     @jax.jit
@@ -173,7 +173,7 @@ def argparse_util():
     im.add_argument("--class-config", metavar=("CSV", "COL"), nargs=2)
     im.add_argument("--class-min", metavar="MIN", default=2, type=int)
     im.add_argument("--class-max", metavar="MAX", default=None, type=int)
-    im.add_argument("--batch-size", metavar="B", default=108)
+    im.add_argument("--batch-size", metavar="B", default=108, type=int)
 
     pw = sub.add_parser("PORT_WEIGHTS",
                         help="Convert a torch state_dict .pth to .npz for "

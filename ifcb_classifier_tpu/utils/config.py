@@ -75,6 +75,31 @@ def hparams_dict(args) -> dict:
     return keep
 
 
+def parse_mesh(spec, n_devices):
+    """`--mesh DATA[xMODEL]` → (n_data, n_model).
+
+    None/'auto' = all devices on 'data' (pure DP, the workload's natural
+    shape). The product must cover every visible device exactly — a silent
+    partial mesh would strand chips. Validated here, once, so TRAIN and RUN
+    cannot drift."""
+    if spec in (None, "", "auto"):
+        return n_devices, 1
+    parts = str(spec).lower().replace("×", "x").split("x")
+    try:
+        n_data = int(parts[0])
+        n_model = int(parts[1]) if len(parts) > 1 else 1
+        if len(parts) > 2 or n_data < 1 or n_model < 1:
+            raise ValueError
+    except ValueError:
+        raise ValueError(
+            f"--mesh must be DATA or DATAxMODEL (got {spec!r})") from None
+    if n_data * n_model != n_devices:
+        raise ValueError(
+            f"--mesh {n_data}x{n_model} needs {n_data * n_model} devices "
+            f"but {n_devices} are visible")
+    return n_data, n_model
+
+
 def default_compute_dtype():
     """bf16 on TPU, f32 elsewhere — the one place this policy lives."""
     import jax

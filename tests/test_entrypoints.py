@@ -77,3 +77,59 @@ class TestSbatchRunOutdir:
         resolved = tmp_path / "run-output" / "myrun" / "model"
         assert resolved.is_dir()  # fallback MODEL_ID = ckpt file stem
         assert not (tmp_path / "run-output" / "{RUN_ID}").exists()
+
+
+class TestSbatchRound3Fixes:
+    def test_hparams_without_model_id_falls_back_to_stem(self, tmp_path):
+        """A checkpoint whose hparams lack model_id must fall back to the
+        file stem — .get() returning None never raised, so the outdir used
+        to render as a literal 'None' directory (round-2 advisor)."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+        model = get_namebrand_model("resnet18", 2, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        ck = tmp_path / "mystem.ptl"
+        save_checkpoint(str(ck), state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32))
+        out_pat = str(tmp_path / "o" / "{MODEL_ID}")
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "rj", "RUN", str(tmp_path / "bins"), str(ck),
+             "myrun", "--outdir", out_pat],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        assert (tmp_path / "o" / "mystem").is_dir()
+        assert not (tmp_path / "o" / "None").exists()
+
+    def test_submit_tempfile_is_unique_and_cleaned(self, tmp_path,
+                                                   monkeypatch):
+        """Real (non-dry-run) submits must not share a fixed /tmp script
+        path — two concurrent submits would sbatch each other's script."""
+        import sys as _sys
+        from ifcb_classifier_tpu import sbatch as sb
+        from ifcb_classifier_tpu.cli import argparse_nn
+        seen = []
+
+        def fake_run(cmd, **kw):
+            seen.append(cmd[1])
+            assert os.path.isfile(cmd[1])  # script exists at submit time
+
+            class R:
+                returncode = 0
+                stdout = "Submitted batch job 42"
+                stderr = ""
+            return R()
+
+        monkeypatch.setattr(sb.subprocess, "run", fake_run)
+        argv = ["prog", "--job-name", "tj", "TRAIN", "src", "resnet18",
+                "tid", "--outdir", str(tmp_path)]
+        monkeypatch.setattr(_sys, "argv", argv)
+        parser = argparse_nn(sb.argparse_sbatch())
+        sb.main(parser)
+        sb.main(parser)
+        assert len(seen) == 2 and seen[0] != seen[1]
+        assert all("ifcbnn_" in os.path.basename(p) for p in seen)
+        assert not any(os.path.exists(p) for p in seen)  # cleaned up

@@ -538,6 +538,10 @@ class TestRunSummary:
         s = json.load(open(os.path.join(out, "s.json")))
         assert s["n_rois"] == 5
         assert sum(s["class_counts"].values()) == 5
+        # schema disambiguation (round-3): img-mode runs say so explicitly
+        # instead of reusing n_bins_done=0 to mean two different things
+        assert s["src_type"] == "img" and s["n_images"] == 5
+        assert s["n_bins_done"] == 0
 
     def test_watch_refreshes_summary(self, ckpt, tmp_path, monkeypatch):
         import time as real_time
@@ -733,3 +737,69 @@ class TestOrchestrationReviewFixes:
             assert os.path.isdir(prof)
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+
+class TestRound3Hardening:
+    """Round-3 fixes: watch-mode aggregate double-count on staleness
+    self-heal, predict_bin negative-startByte bounds check (gobig parity)."""
+
+    def test_watch_reclassify_not_double_counted(self, ckpt, tmp_path,
+                                                 monkeypatch):
+        """Within ONE --watch service, a bin reclassified by the staleness
+        self-heal must REPLACE its aggregate contribution, not add to it:
+        summary counts stay per-ROI-exact over the service lifetime."""
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        pid = "D20250310T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(12, 14, 1), make_roi(9, 9, 2)], 2)
+        out = str(tmp_path / "out")
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+            def time(self):
+                # far future: every bin passes the settle gate immediately
+                return real_time.time() + 1e6
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 1:
+                    # the bin grows after classification; backdate the
+                    # output so it is strictly older than the regrown bin
+                    write_bin(str(root), pid,
+                              [make_roi(12, 14, 1), make_roi(9, 9, 2),
+                               make_roi(8, 8, 3)], 2)
+                    old = real_time.time() - 100
+                    os.utime(os.path.join(out, pid + ".json"), (old, old))
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=2, summary="live.json"))
+        s = json.load(open(os.path.join(out, "live.json")))
+        reclassified = json.load(open(os.path.join(out, pid + ".json")))
+        assert len(reclassified["roi_numbers"]) == 3  # self-heal happened
+        assert s["n_bins_done"] == 1      # not 2: same bin, counted once
+        assert s["n_rois"] == 3           # not 5: replaced, not added
+        assert sum(s["class_counts"].values()) == 3
+        assert sum(s["score_histogram"]["counts"]) == 3
+
+    def test_predict_bin_negative_startbyte_fails_loudly(self, ckpt,
+                                                         tmp_path):
+        """A negative startByte wraps via Python negative indexing and can
+        silently classify the wrong bytes; predict_bin must reject the whole
+        bin up front exactly like the gobig path does."""
+        from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2, Bin
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        pid = "D20250311T000000_IFCB900"
+        base = write_bin(str(tmp_path), pid,
+                         [make_roi(16, 16, 1), make_roi(16, 16, 2)], 2)
+        col = ADC_COLUMNS_V2.index("startByte")
+        lines = open(base + ".adc").read().splitlines()
+        parts = lines[1].split(",")
+        parts[col] = "-256"  # wraps to a valid-length slice from the end
+        lines[1] = ",".join(parts)
+        with open(base + ".adc", "w") as f:
+            f.write("\n".join(lines) + "\n")
+        eng = InferenceEngine(ckpt, batch_size=8)
+        with pytest.raises(ValueError, match="out of bounds"):
+            eng.predict_bin(Bin(base + ".adc"))

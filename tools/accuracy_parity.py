@@ -120,24 +120,40 @@ def compare(ours: dict, ref: dict, min_agreement: float):
     return report, ok
 
 
+def _torch_twin(model_name, n_classes):
+    """The pure-torch (torchvision-layout) twin for a model family."""
+    if model_name == "inception_v3":
+        from torch_inception_tv import Inception3
+        return Inception3(num_classes=n_classes)
+    if model_name == "resnet18":
+        from torch_resnet_tv import ResNet18
+        return ResNet18(num_classes=n_classes)
+    raise ValueError(f"no torch twin wired for {model_name!r}")
+
+
 def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):
     """Produce 'reference' result files: a pure-torch model loaded with the
     SAME trained weights classifies the same bins with reference-style PIL
-    preprocessing, written in the reference v3 h5 format."""
+    preprocessing (Resize → ToTensor → Normalize when the checkpoint was
+    trained with --img-norm, neuston_data.py:456-464), written in the
+    reference v3 h5 format."""
     import torch
     from PIL import Image
 
+    from ifcb_classifier_tpu.data.datasets import parse_imgnorm
     from ifcb_classifier_tpu.data.ifcb import DataDirectory
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.models.torch_port import export_state_dict
     from ifcb_classifier_tpu.results.run import save_run_results
     from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
-    from torch_resnet_tv import ResNet18
 
     params, stats, hparams = load_checkpoint(ckpt)
     classes, resize = hparams["classes"], hparams["resize"]
-    sd = export_state_dict("resnet18", params, stats)
-    tm = ResNet18(num_classes=len(classes))
+    model_name = hparams["MODEL"]
+    norm = (parse_imgnorm(hparams["img_norm"])
+            if hparams.get("img_norm") else None)
+    sd = export_state_dict(model_name, params, stats)
+    tm = _torch_twin(model_name, len(classes))
     tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
                         for k, v in sd.items()}, strict=False)
     tm.eval()
@@ -149,7 +165,12 @@ def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):
         for t, roi in bin.images.items():
             im = Image.fromarray(roi, "L").convert("RGB").resize(
                 (resize, resize), Image.BILINEAR)
-            images.append(np.asarray(im, np.float32) / 255.0)
+            arr = np.asarray(im, np.float32) / 255.0
+            if norm is not None:  # torchvision Normalize semantics
+                mean, std = norm
+                arr = (arr - np.asarray(mean, np.float32)) / \
+                    np.asarray(std, np.float32)
+            images.append(arr)
             targets.append(t)
         if not images:
             continue

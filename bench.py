@@ -112,6 +112,10 @@ def bench_infer():
         params, batch_stats = fold_params(
             "inception_v3", jax.device_get(params),
             jax.device_get(batch_stats))
+        # fold_params returns HOST numpy — device_put or every timed call
+        # re-pays the full weight transfer over the dev tunnel (~25 MB/s)
+        params = jax.device_put(params)
+        batch_stats = jax.device_put(batch_stats)
         model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16,
                                     fold_bn=True)
     predict = make_predict_step(model)

@@ -37,8 +37,12 @@ def export_model(ckpt_path: str, output: str | None = None,
     classes = hparams["classes"]
     resize = hparams["resize"]
     dtype = jnp.bfloat16 if half else jnp.float32
+    # pretrained round-trips from the checkpoint: torchvision semantics make
+    # inception's transform_input a model attribute that applies at
+    # inference too (see InferenceEngine for the same rule)
     model = get_namebrand_model(hparams["MODEL"], len(classes),
-                                pretrained=False, dtype=dtype)
+                                pretrained=bool(hparams.get("pretrained")),
+                                dtype=dtype)
     predict = make_predict_step(model)
 
     def fn(images):

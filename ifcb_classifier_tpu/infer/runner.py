@@ -69,9 +69,15 @@ class InferenceEngine:
             params, batch_stats = fold_params(hparams["MODEL"], params,
                                               batch_stats)
 
+        # pretrained must round-trip from the checkpoint: torchvision's
+        # inception_v3(pretrained=True) forces transform_input=True — a MODEL
+        # attribute that applies at inference too (the reference serves it
+        # via the Lightning checkpoint). Rebuilding with pretrained=False
+        # would silently drop the channel renorm for pretrained inceptions.
         model = get_namebrand_model(hparams["MODEL"], len(self.classes),
-                                    pretrained=False, dtype=dtype,
-                                    fold_bn=self.folded)
+                                    pretrained=bool(hparams.get("pretrained")),
+                                    dtype=dtype, fold_bn=self.folded)
+        self.model = model
         self.params = jax.device_put(params)
         self.batch_stats = jax.device_put(batch_stats)
         predict = make_predict_step(model)

@@ -71,7 +71,7 @@ def get_namebrand_model(model_name: str, num_o_classes: int, pretrained: bool = 
         if depth not in VGG_CFGS:
             raise KeyError("model unknown!")
         return VGG(cfg=depth, batch_norm=model_name.endswith("_bn"),
-                   num_classes=num_o_classes, dtype=dtype)
+                   num_classes=num_o_classes, dtype=dtype, fold=fold_bn)
     elif model_name.startswith("resnet"):
         from .resnet import ResNet, RESNET_CFGS
         if model_name not in RESNET_CFGS:
@@ -87,6 +87,7 @@ def get_namebrand_model(model_name: str, num_o_classes: int, pretrained: bool = 
         from .efficientnet import EfficientNet, EFFICIENTNET_CFGS
         if model_name not in EFFICIENTNET_CFGS:
             raise KeyError("model unknown!")
-        return EfficientNet(variant=model_name, num_classes=num_o_classes, dtype=dtype)
+        return EfficientNet(variant=model_name, num_classes=num_o_classes,
+                            dtype=dtype, fold=fold_bn)
     else:
         raise KeyError("model unknown!")

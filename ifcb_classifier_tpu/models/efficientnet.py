@@ -89,21 +89,24 @@ class MBConv(nn.Module):
     dtype: Any = jnp.float32
     bn_eps: float = 1e-5
     bn_mom: float = 0.1
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        d = self.dtype
+        d, f = self.dtype, self.fold
         expanded = self.in_ch * self.expand_ratio
         h = x
         if self.expand_ratio != 1:
-            h = ConvT(expanded, 1, use_bias=False, dtype=d, name="expand_conv")(h)
-            h = _BN(d, self.bn_eps, self.bn_mom,
-                    name="expand_bn")(h, train)
+            h = ConvT(expanded, 1, use_bias=f, dtype=d, name="expand_conv")(h)
+            if not f:
+                h = _BN(d, self.bn_eps, self.bn_mom,
+                        name="expand_bn")(h, train)
             h = nn.silu(h)
         h = ConvT(expanded, self.kernel, self.stride, self.kernel // 2,
-                  groups=expanded, use_bias=False, dtype=d, name="dw_conv")(h)
-        h = _BN(d, self.bn_eps, self.bn_mom,
-                name="dw_bn")(h, train)
+                  groups=expanded, use_bias=f, dtype=d, name="dw_conv")(h)
+        if not f:
+            h = _BN(d, self.bn_eps, self.bn_mom,
+                    name="dw_bn")(h, train)
         h = nn.silu(h)
         # squeeze-excitation on block *input* channel count / 4
         sq = max(1, self.in_ch // 4)
@@ -111,9 +114,10 @@ class MBConv(nn.Module):
         s = nn.silu(ConvT(sq, 1, dtype=d, name="se_reduce")(s))
         s = nn.sigmoid(ConvT(expanded, 1, dtype=d, name="se_expand")(s))
         h = h * s
-        h = ConvT(self.out_ch, 1, use_bias=False, dtype=d, name="project_conv")(h)
-        h = _BN(d, self.bn_eps, self.bn_mom,
-                name="project_bn")(h, train)
+        h = ConvT(self.out_ch, 1, use_bias=f, dtype=d, name="project_conv")(h)
+        if not f:
+            h = _BN(d, self.bn_eps, self.bn_mom,
+                    name="project_bn")(h, train)
         if self.stride == 1 and self.in_ch == self.out_ch:
             if train and self.sd_prob > 0:
                 keep = 1.0 - self.sd_prob
@@ -128,17 +132,22 @@ class EfficientNet(nn.Module):
     variant: str = "efficientnet_b0"
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold and train:
+            raise ValueError("fold_bn model is eval-only (BN is folded "
+                             "into conv weights with frozen stats)")
         width, depth, dropout = EFFICIENTNET_CFGS[self.variant]
         bn_eps, bn_mom = bn_params_for(self.variant)
-        d = self.dtype
+        d, f = self.dtype, self.fold
         x = x.astype(d)
 
         stem = round_filters(32, width)
-        x = ConvT(stem, 3, 2, 1, use_bias=False, dtype=d, name="stem_conv")(x)
-        x = _BN(d, bn_eps, bn_mom, name="stem_bn")(x, train)
+        x = ConvT(stem, 3, 2, 1, use_bias=f, dtype=d, name="stem_conv")(x)
+        if not f:
+            x = _BN(d, bn_eps, bn_mom, name="stem_bn")(x, train)
         x = nn.silu(x)
 
         total_blocks = sum(round_repeats(r, depth) for *_, r in _BASE_STAGES)
@@ -150,14 +159,15 @@ class EfficientNet(nn.Module):
                 stride = s if i == 0 else 1
                 sd = 0.2 * block_idx / total_blocks
                 x = MBConv(er, k, stride, in_ch, out_ch, sd, d,
-                           bn_eps, bn_mom,
+                           bn_eps, bn_mom, fold=f,
                            name=f"block{s_idx}_{i}")(x, train)
                 in_ch = out_ch
                 block_idx += 1
 
         head = 4 * in_ch
-        x = ConvT(head, 1, use_bias=False, dtype=d, name="head_conv")(x)
-        x = _BN(d, bn_eps, bn_mom, name="head_bn")(x, train)
+        x = ConvT(head, 1, use_bias=f, dtype=d, name="head_conv")(x)
+        if not f:
+            x = _BN(d, bn_eps, bn_mom, name="head_bn")(x, train)
         x = nn.silu(x)
         x = global_avg_pool(x)
         x = nn.Dropout(dropout, deterministic=not train)(x)

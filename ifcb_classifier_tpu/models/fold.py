@@ -15,10 +15,12 @@ module is structurally absent). Folding is exact algebra; float rounding
 moves logits by ~1e-6 (f32) — pinned ≤1e-3 by tests/test_fold.py.
 
 Supported: inception_v3 (BasicConv2d conv+bn siblings, eps=1e-3,
-torchvision Inception3 parity — neuston_models.py:23-26) and resnet*
-(convN/bnN + ds_conv/ds_bn pairs, eps=1e-5). DenseNets are pre-activation
-(BN→relu→conv — the relu blocks folding); other families either lack BN or
-aren't on the deployment hot path yet.
+torchvision Inception3 parity — neuston_models.py:23-26), resnet*
+(convN/bnN + ds_conv/ds_bn pairs, eps=1e-5), vgg*_bn (features_i conv +
+features_{i+1} bn, eps=1e-5), and efficientnet_b* ({stem,expand,dw,
+project,head}_conv + matching _bn, per-variant eps). DenseNets are
+pre-activation (BN→relu→conv — the relu blocks folding); the remaining
+families have no BN.
 """
 
 from __future__ import annotations
@@ -29,13 +31,20 @@ import numpy as np
 
 __all__ = ["supports_fold", "fold_params", "fold_conv_bn"]
 
-# ConvT/BatchNormT sibling naming used by the resnet family (resnet.py)
+# ConvT/TorchBN-wrapper sibling naming, per family
 _RESNET_PAIRS = {"conv1": "bn1", "conv2": "bn2", "conv3": "bn3",
                  "ds_conv": "ds_bn"}
+_EFFNET_PAIRS = {"stem_conv": "stem_bn", "expand_conv": "expand_bn",
+                 "dw_conv": "dw_bn", "project_conv": "project_bn",
+                 "head_conv": "head_bn"}
 
 
 def supports_fold(model_name: str) -> bool:
-    return model_name == "inception_v3" or model_name.startswith("resnet")
+    return (model_name == "inception_v3"
+            or model_name.startswith("resnet")
+            or model_name.startswith("efficientnet")
+            or (model_name.startswith("vgg")
+                and model_name.endswith("_bn")))
 
 
 def fold_conv_bn(kernel, conv_bias, bn_scale, bn_bias, mean, var, eps):
@@ -74,26 +83,48 @@ def _fold_inception(params, stats):
     return walk(params, stats)
 
 
-def _fold_resnet(params, stats):
-    """ConvT ('conv' wrapper) / BatchNormT ('bn' wrapper) sibling pairs
-    (resnet.py, BatchNormT eps=1e-5)."""
+def _fold_sibling_pairs(params, stats, pairs, eps):
+    """ConvT ('conv' wrapper) / TorchBN-wrapper ('bn' wrapper) sibling
+    pairs at any nesting depth — resnet's convN/bnN and efficientnet's
+    *_conv/*_bn naming."""
 
     def walk(p, s):
         out = {key: (walk(v, s.get(key, {})) if isinstance(v, Mapping)
                      else v) for key, v in p.items()}
-        for ck, bk in _RESNET_PAIRS.items():
+        for ck, bk in pairs.items():
             if (ck in out and bk in out and isinstance(out[ck], Mapping)
                     and "conv" in out[ck] and "bn" in out[bk]):
                 conv, bn = out[ck]["conv"], out[bk]["bn"]
                 st = s[bk]["bn"]
                 k, b = fold_conv_bn(conv["kernel"], conv.get("bias"),
                                     bn["scale"], bn["bias"],
-                                    st["mean"], st["var"], eps=1e-5)
+                                    st["mean"], st["var"], eps=eps)
                 out[ck] = {"conv": {"kernel": k, "bias": b}}
                 del out[bk]
         return out
 
     return walk(params, stats)
+
+
+def _fold_vgg(params, stats):
+    """vgg*_bn: conv at features_i, its BN at features_{i+1} (torchvision
+    Sequential numbering; vgg.py keeps the indices when folding so conv
+    param names are unchanged)."""
+    out = dict(params)
+    for k in sorted(list(out.keys())):
+        if not (k.startswith("features_") and isinstance(out.get(k), Mapping)
+                and "conv" in out[k]):
+            continue
+        bk = "features_{}".format(int(k.split("_")[1]) + 1)
+        if (bk in out and isinstance(out[bk], Mapping) and "bn" in out[bk]):
+            conv, bn = out[k]["conv"], out[bk]["bn"]
+            st = stats[bk]["bn"]
+            kk, bb = fold_conv_bn(conv["kernel"], conv.get("bias"),
+                                  bn["scale"], bn["bias"],
+                                  st["mean"], st["var"], eps=1e-5)
+            out[k] = {"conv": {"kernel": kk, "bias": bb}}
+            del out[bk]
+    return out
 
 
 def fold_params(model_name: str, params, batch_stats):
@@ -104,4 +135,12 @@ def fold_params(model_name: str, params, batch_stats):
         raise ValueError(f"{model_name!r} does not support BN folding")
     if model_name == "inception_v3":
         return _fold_inception(params, batch_stats), {}
-    return _fold_resnet(params, batch_stats), {}
+    if model_name.startswith("vgg"):
+        return _fold_vgg(params, batch_stats), {}
+    if model_name.startswith("efficientnet"):
+        from .efficientnet import bn_params_for
+        eps, _mom = bn_params_for(model_name)
+        return _fold_sibling_pairs(params, batch_stats, _EFFNET_PAIRS,
+                                   eps), {}
+    return _fold_sibling_pairs(params, batch_stats, _RESNET_PAIRS,
+                               eps=1e-5), {}

@@ -29,9 +29,13 @@ class VGG(nn.Module):
     batch_norm: bool = False
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    fold: bool = False  # eval-only BN→conv folding (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold and train:
+            raise ValueError("fold_bn model is eval-only (BN is folded "
+                             "into conv weights with frozen stats)")
         x = x.astype(self.dtype)
         layer_idx = 0
         for v in VGG_CFGS[self.cfg]:
@@ -43,8 +47,9 @@ class VGG(nn.Module):
                           name=f"features_{layer_idx}")(x)
                 layer_idx += 1
                 if self.batch_norm:
-                    x = BatchNormT(dtype=self.dtype,
-                                   name=f"features_{layer_idx}")(x, train)
+                    if not self.fold:  # folded: BN absent, numbering kept
+                        x = BatchNormT(dtype=self.dtype,
+                                       name=f"features_{layer_idx}")(x, train)
                     layer_idx += 1
                 x = nn.relu(x)
                 layer_idx += 1

@@ -46,7 +46,9 @@ def _randomized_variables(model, rng, size):
 
 
 @pytest.mark.parametrize("name,size", [("resnet18", 64), ("resnet50", 64),
-                                       ("inception_v3", 96)])
+                                       ("inception_v3", 96),
+                                       ("vgg11_bn", 224),  # 7x32 pool rule
+                                       ("efficientnet_b0", 64)])
 def test_folded_logits_match_unfolded(name, size):
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.models.fold import fold_params
@@ -80,6 +82,8 @@ def test_fold_unsupported_family_raises():
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.models.fold import supports_fold
     assert not supports_fold("densenet121")  # pre-activation: relu blocks it
+    assert not supports_fold("vgg16")        # no BN to fold
+    assert not supports_fold("alexnet")
     with pytest.raises(ValueError, match="fold_bn unsupported"):
         get_namebrand_model("densenet121", 3, fold_bn=True)
 

@@ -674,17 +674,21 @@ class TestOrchestrationReviewFixes:
         seen = {}
 
         class Probe:
-            def __init__(self, path, batch_size=108, dtype=None):
+            def __init__(self, path, batch_size=108, dtype=None, mesh=None):
                 seen["dtype"] = dtype
+                seen["mesh"] = mesh
                 raise RuntimeError("probe stop")
 
         monkeypatch.setattr(runner, "InferenceEngine", Probe)
         with pytest.raises(RuntimeError, match="probe stop"):
             cli.main_cli(["--precision", "bf16", "RUN", "src", ckpt, "rid"])
         assert seen["dtype"] == jnp.bfloat16
+        assert seen["mesh"] == "auto"  # --mesh default reaches the engine
         with pytest.raises(RuntimeError, match="probe stop"):
-            cli.main_cli(["--precision", "fp32", "RUN", "src", ckpt, "rid"])
+            cli.main_cli(["--precision", "fp32", "--mesh", "8x1",
+                          "RUN", "src", ckpt, "rid"])
         assert seen["dtype"] == jnp.float32
+        assert seen["mesh"] == "8x1"
 
     def test_filter_mode_validated(self, ckpt, bin_tree, tmp_path):
         from ifcb_classifier_tpu.infer.runner import do_run
@@ -803,3 +807,28 @@ class TestRound3Hardening:
         eng = InferenceEngine(ckpt, batch_size=8)
         with pytest.raises(ValueError, match="out of bounds"):
             eng.predict_bin(Bin(base + ".adc"))
+
+    def test_engine_honors_pretrained_transform_input(self, tmp_path):
+        """torchvision's inception_v3(pretrained=True) forces
+        transform_input=True — a model attribute that applies at inference.
+        The engine must rebuild with the checkpoint's pretrained flag, not
+        hardcode pretrained=False (which silently dropped the channel
+        renorm for pretrained inceptions before round 3)."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("inception_v3", 2, pretrained=True,
+                                    dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 299)
+        for pretrained, expect in [(True, True), (False, False)]:
+            ck = str(tmp_path / f"m{pretrained}.ptl")
+            save_checkpoint(ck, state.params, state.batch_stats,
+                            dict(MODEL="inception_v3", classes=["a", "b"],
+                                 resize=299, model_id="m", seed=1,
+                                 img_norm=None, pretrained=pretrained))
+            eng = InferenceEngine(ck, batch_size=8)
+            assert eng.model.transform_input is expect

@@ -120,11 +120,12 @@ def compare(ours: dict, ref: dict, min_agreement: float):
     return report, ok
 
 
-def _torch_twin(model_name, n_classes):
+def _torch_twin(model_name, n_classes, transform_input=False):
     """The pure-torch (torchvision-layout) twin for a model family."""
     if model_name == "inception_v3":
         from torch_inception_tv import Inception3
-        return Inception3(num_classes=n_classes)
+        return Inception3(num_classes=n_classes,
+                          transform_input=transform_input)
     if model_name == "resnet18":
         from torch_resnet_tv import ResNet18
         return ResNet18(num_classes=n_classes)
@@ -153,7 +154,11 @@ def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):
     norm = (parse_imgnorm(hparams["img_norm"])
             if hparams.get("img_norm") else None)
     sd = export_state_dict(model_name, params, stats)
-    tm = _torch_twin(model_name, len(classes))
+    # pretrained inceptions carry transform_input=True into inference
+    # (torchvision factory rule; mirrored by InferenceEngine)
+    tm = _torch_twin(model_name, len(classes),
+                     transform_input=(model_name == "inception_v3"
+                                      and bool(hparams.get("pretrained"))))
     tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
                         for k, v in sd.items()}, strict=False)
     tm.eval()
@@ -192,10 +197,23 @@ def main():
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--demo", action="store_true",
                     help="synthetic end-to-end validation, no artifacts needed")
+    ap.add_argument("--demo-flagship", action="store_true",
+                    help="--demo with the FLAGSHIP config: inception_v3 @299 "
+                         "+ --img-norm + --flip xy + a class-config CSV, so "
+                         "the full preprocessing/aux-loss chain is covered "
+                         "end-to-end (neuston_data.py:342-371 + "
+                         "neuston_models.py:70-78)")
     ap.add_argument("--weights", help="torch state_dict .pth/.npz")
     ap.add_argument("--model", default="inception_v3")
     ap.add_argument("--train-src", help="folder-per-class training dir")
     ap.add_argument("--bins", help="raw IFCB bin directory")
+    ap.add_argument("--img-norm", nargs=2, metavar=("MEAN", "STD"),
+                    help="forwarded to TRAIN (and mirrored by the torch "
+                         "reference preprocessing in demo mode)")
+    ap.add_argument("--flip", default=None,
+                    help="forwarded to TRAIN (training-time augmentation)")
+    ap.add_argument("--class-config", nargs=2, metavar=("CSV", "COL"),
+                    help="forwarded to TRAIN")
     ap.add_argument("--reference-results",
                     help="directory of reference-produced result files "
                          "(h5/json); omit to just produce ours")
@@ -210,8 +228,8 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     py = sys.executable
 
-    if args.demo:
-        args.model = "resnet18"
+    if args.demo or args.demo_flagship:
+        args.model = "inception_v3" if args.demo_flagship else "resnet18"
         args.emax, args.batch = 2, 16
         corpus = os.path.join(args.outdir, "corpus")
         if not os.path.isdir(corpus):
@@ -221,10 +239,19 @@ def main():
         args.bins = os.path.join(corpus, "bins")
         # the "real .pth": a torchvision-keyed pure-torch state_dict
         import torch
-        from torch_resnet_tv import ResNet18
         torch.manual_seed(7)
         args.weights = os.path.join(args.outdir, "demo_imagenet.pth")
-        torch.save(ResNet18(num_classes=1000).state_dict(), args.weights)
+        torch.save(_torch_twin(args.model, 1000).state_dict(), args.weights)
+        if args.demo_flagship:
+            # the full preprocessing chain: normalization, training-time
+            # flips, and a class-config CSV that both renames AND merges
+            args.img_norm = args.img_norm or ["0.45", "0.25"]
+            args.flip = args.flip or "xy"
+            if not args.class_config:
+                cc = os.path.join(args.outdir, "class_config.csv")
+                with open(cc, "w") as f:
+                    f.write("class,demo\nround,1\nelongated,long\nspiky,1\n")
+                args.class_config = [cc, "demo"]
 
     assert args.weights and args.train_src and args.bins, \
         "--weights/--train-src/--bins required (or --demo)"
@@ -236,10 +263,17 @@ def main():
 
     # 2) TRAIN --weights (reference defaults except where overridden)
     train_out = os.path.join(args.outdir, "train")
-    sh(py, "-m", "ifcb_classifier_tpu", "--batch", args.batch,
-       "TRAIN", args.train_src, args.model, "parity",
-       "--weights", ported, "--emax", args.emax, "--estop", "0",
-       "--seed", args.seed, "--outdir", train_out)
+    cmd = [py, "-m", "ifcb_classifier_tpu", "--batch", args.batch,
+           "TRAIN", args.train_src, args.model, "parity",
+           "--weights", ported, "--emax", args.emax, "--estop", "0",
+           "--seed", args.seed, "--outdir", train_out]
+    if args.img_norm:
+        cmd += ["--img-norm", *args.img_norm]
+    if args.flip:
+        cmd += ["--flip", args.flip]
+    if args.class_config:
+        cmd += ["--class-config", *args.class_config]
+    sh(*cmd)
     ckpt = os.path.join(train_out, "parity.ptl")
 
     # 3) RUN on the bins (fp32: reference-exact inference)
@@ -251,7 +285,7 @@ def main():
 
     # 4) reference results: supplied, or produced by pure-torch in demo mode
     ref_dir = args.reference_results
-    if args.demo:
+    if args.demo or args.demo_flagship:
         ref_dir = os.path.join(args.outdir, "reference")
         demo_reference_results(ckpt, args.bins + os.sep, ref_dir,
                                "2026-01-01T00:00:00+00:00")

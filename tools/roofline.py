@@ -1,0 +1,206 @@
+"""Roofline accounting for the headline train step (VERDICT r2 #1).
+
+Answers, with numbers instead of assertions: is inception_v3 @299 b128 bf16
+training compute-bound (MXU) or HBM-bandwidth-bound on this chip — and how
+close is the measured step time to that bound?
+
+Method: XLA's own post-fusion cost analysis of the COMPILED executable.
+`compiled.cost_analysis()` reports `flops` and `bytes accessed` summed over
+the optimized HLO — fusions count operands+outputs once, so "bytes accessed"
+is a faithful model of HBM traffic for the program XLA actually runs (it
+over-counts only where buffers stay resident in VMEM/caches between ops,
+i.e. it is an UPPER bound on traffic → a LOWER bound on achievable time —
+conservative in the right direction for "are we at the roofline?").
+
+    T_flops = flops / peak_bf16_flops          (MXU bound)
+    T_bytes = bytes / hbm_bandwidth            (HBM bound)
+    T_pred  = max(T_flops, T_bytes)            (roofline)
+
+Reports per model: both bounds, which dominates, predicted vs measured
+step time, MFU, and HBM utilization. Results feed BASELINE.md's round-3
+roofline section. Reference workload being modeled: the reference's
+single-GPU fp32 train loop (neuston_net.py:101-115) with the inception
+default.
+
+Usage (TPU):  python tools/roofline.py [--models inception_v3,resnet50]
+              [--batch 128] [--iters 20] [--trials 3] [--infer]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# chip peaks: (dense bf16 FLOP/s, HBM bytes/s)
+CHIP = {"v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
+        "v4": (275e12, 1228e9), "v5p": (459e12, 2765e9),
+        "v6 lite": (918e12, 1640e9), "v6e": (918e12, 1640e9)}
+
+
+def chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP.items():
+        if key in kind:
+            return kind, peaks
+    return kind, (float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12,
+                  float(os.environ.get("BENCH_HBM_GBS", 819)) * 1e9)
+
+
+def cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+
+def measure_train(model_name, batch, size, iters, trials, remat=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                 make_train_step)
+
+    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), size)
+    step = jax.jit(make_train_step(model, tx, remat=remat), donate_argnums=0)
+    rng = np.random.RandomState(0)
+    b = dict(images=jnp.asarray(rng.rand(batch, size, size, 3), jnp.float32),
+             labels=jnp.asarray(rng.randint(0, 50, batch), jnp.int32),
+             mask=jnp.ones((batch,), bool))
+    compiled = step.lower(state, b, jax.random.PRNGKey(0)).compile()
+    flops, nbytes = cost(compiled)
+    for i in range(2):
+        state, loss = compiled(state, b, jax.random.PRNGKey(i))
+    _ = float(loss)
+    times = []
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, loss = compiled(state, b, jax.random.PRNGKey(i))
+        _ = float(loss)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        _ = float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
+        times.append((time.perf_counter() - t0) / iters)
+    return flops, nbytes, statistics.median(times)
+
+
+def measure_infer(model_name, batch, size, iters, trials, fold=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.state import make_predict_step
+
+    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, size, size, 3), jnp.float32), train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    if fold:
+        from ifcb_classifier_tpu.models.fold import fold_params, supports_fold
+        if supports_fold(model_name):
+            params, stats = fold_params(model_name, jax.device_get(params),
+                                        jax.device_get(stats))
+            model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16,
+                                        fold_bn=True)
+    # fold_params returns HOST numpy — device_put or every timed call
+    # re-pays the full weight transfer over the dev tunnel (~25 MB/s)
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
+    predict = make_predict_step(model)
+
+    @jax.jit
+    def run(params, stats, x, acc):
+        p = predict(params, stats, x)
+        return p, acc + jnp.sum(p)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3),
+                    jnp.float32)
+    acc0 = jnp.zeros((), jnp.float32)
+    compiled = run.lower(params, stats, x, acc0).compile()
+    flops, nbytes = cost(compiled)
+    p, acc = compiled(params, stats, x, acc0)
+    _ = float(acc)
+    times = []
+    for _t in range(trials):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            p, acc = compiled(params, stats, x, acc)
+        _ = float(acc)
+        times.append((time.perf_counter() - t0) / iters)
+    return flops, nbytes, statistics.median(times)
+
+
+def report(tag, batch, flops, nbytes, t_meas, peaks):
+    peak_f, peak_b = peaks
+    t_flops = flops / peak_f
+    t_bytes = nbytes / peak_b
+    t_pred = max(t_flops, t_bytes)
+    bound = "MXU" if t_flops >= t_bytes else "HBM"
+    r = dict(
+        workload=tag, batch=batch,
+        xla_gflops=round(flops / 1e9, 1),
+        xla_gbytes=round(nbytes / 1e9, 3),
+        arithmetic_intensity=round(flops / max(nbytes, 1), 1),
+        t_mxu_ms=round(t_flops * 1e3, 2),
+        t_hbm_ms=round(t_bytes * 1e3, 2),
+        bound=bound,
+        t_predicted_ms=round(t_pred * 1e3, 2),
+        t_measured_ms=round(t_meas * 1e3, 2),
+        pct_of_roofline=round(100 * t_pred / t_meas, 1),
+        imgs_per_sec=round(batch / t_meas, 1),
+        mfu_pct=round(100 * flops / t_meas / peak_f, 1),
+        hbm_util_pct=round(100 * nbytes / t_meas / peak_b, 1))
+    print(json.dumps(r))
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="inception_v3,resnet50")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--infer", action="store_true",
+                    help="also profile the (folded) inference graph")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--out", default=None, help="write results JSON here")
+    args = ap.parse_args()
+
+    from ifcb_classifier_tpu.models import input_size_for
+    from ifcb_classifier_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()
+    kind, peaks = chip_peaks()
+    print(f"chip: {kind}  peak {peaks[0]/1e12:.0f} TF/s bf16, "
+          f"{peaks[1]/1e9:.0f} GB/s HBM")
+    results = []
+    for m in args.models.split(","):
+        size = input_size_for(m)
+        f, nb, t = measure_train(m, args.batch, size, args.iters,
+                                 args.trials, remat=args.remat)
+        results.append(report(f"{m}@{size} b{args.batch} bf16 train"
+                              + (" remat" if args.remat else ""),
+                              args.batch, f, nb, t, peaks))
+        if args.infer:
+            f, nb, t = measure_infer(m, args.batch, size, args.iters,
+                                     args.trials)
+            results.append(report(f"{m}@{size} b{args.batch} bf16 infer "
+                                  "(folded)", args.batch, f, nb, t, peaks))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(dict(chip=kind, peak_flops=peaks[0],
+                           peak_hbm=peaks[1], results=results), fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -142,9 +142,13 @@ class InceptionAux(nn.Module):
 class Inception3(nn.Module):
     """torchvision-key-compatible Inception3 (eval-path forward)."""
 
-    def __init__(self, num_classes=50, dropout=0.5):
+    def __init__(self, num_classes=50, dropout=0.5, transform_input=False):
         super().__init__()
         self.dropout = dropout
+        # torchvision: inception_v3(pretrained=True) forces
+        # transform_input=True — ImageNet-stat channel renormalization
+        # applied inside the model, at train AND eval time
+        self.transform_input = transform_input
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
@@ -165,6 +169,11 @@ class Inception3(nn.Module):
         self.fc = nn.Linear(2048, num_classes)
 
     def forward(self, x):
+        if self.transform_input:
+            ch0 = x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            ch1 = x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            ch2 = x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = torch.cat((ch0, ch1, ch2), 1)
         x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
         x = F.max_pool2d(x, 3, 2)
         x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))

@@ -40,9 +40,18 @@ def export_model(ckpt_path: str, output: str | None = None,
     # pretrained round-trips from the checkpoint: torchvision semantics make
     # inception's transform_input a model attribute that applies at
     # inference too (see InferenceEngine for the same rule)
+    # BN→conv folding (models/fold.py): same default as InferenceEngine —
+    # the exported artifact bakes the folded graph in (+18% measured on the
+    # inception deployment path); IFCBNN_NO_FOLD=1 exports unfolded.
+    from .models.fold import fold_params, supports_fold
+    folded = (supports_fold(hparams["MODEL"])
+              and os.environ.get("IFCBNN_NO_FOLD") != "1")
+    if folded:
+        params, batch_stats = fold_params(hparams["MODEL"], params,
+                                          batch_stats)
     model = get_namebrand_model(hparams["MODEL"], len(classes),
                                 pretrained=bool(hparams.get("pretrained")),
-                                dtype=dtype)
+                                dtype=dtype, fold_bn=folded)
     predict = make_predict_step(model)
 
     def fn(images):
@@ -76,7 +85,7 @@ def export_model(ckpt_path: str, output: str | None = None,
         json.dump(dict(model=hparams["MODEL"], resize=resize,
                        img_norm=hparams.get("img_norm"),
                        model_id=hparams.get("model_id"),
-                       n_classes=len(classes)), f)
+                       n_classes=len(classes), bn_folded=folded), f)
     return output
 
 

@@ -8,7 +8,13 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+# PALLAS_AXON_POOL_IPS="" stops sitecustomize from registering the axon
+# (real-TPU tunnel) backend in the child at all — without it, whether
+# JAX_PLATFORMS=cpu is honored depends on whether another process holds
+# the tunnel claim at that moment (observed racy; a child that lands on
+# the TPU compiles for minutes and flakes the test)
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+           PALLAS_AXON_POOL_IPS="")
 
 
 def run(args, **kw):

@@ -14,9 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fixtures import make_roi, write_bin, write_image_folder_dataset
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# PALLAS_AXON_POOL_IPS="" keeps the axon (TPU tunnel) backend out of the
+# children entirely — JAX_PLATFORMS=cpu alone is only honored when the
+# tunnel claim happens to fail (racy; see test_entrypoints.py)
 ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
            XLA_FLAGS="--xla_force_host_platform_device_count=8",
-           IFCBNN_RESIZE_OVERRIDE="32")
+           IFCBNN_RESIZE_OVERRIDE="32", PALLAS_AXON_POOL_IPS="")
 
 
 def test_parse_mesh_specs():

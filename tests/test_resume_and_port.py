@@ -297,3 +297,47 @@ def test_run_exported_rejects_raw_checkpoint(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="raw checkpoint"):
         run_exported(str(p), str(tmp_path))
+
+
+class TestExportFolding:
+    def test_export_folds_bn_and_scores_match(self, tmp_path):
+        """EXPORT bakes the BN-folded graph into the artifact (engine-default
+        parity); scores match the unfolded model within float rounding."""
+        import json as _json
+
+        import jax
+        import jax.numpy as jnp
+        from test_fold import _randomized_variables
+
+        from ifcb_classifier_tpu.export import export_model, run_exported
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import make_predict_step
+
+        model = get_namebrand_model("resnet18", 3, dtype=jnp.float32)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(1),
+                                              64)
+        ckpt = str(tmp_path / "m.ptl")
+        save_checkpoint(ckpt, params, stats,
+                        dict(MODEL="resnet18", classes=["x", "y", "z"],
+                             resize=64, model_id="m", seed=1, img_norm=None))
+        out = export_model(ckpt, str(tmp_path / "m.stablehlo"), batchsize=4)
+        meta = _json.load(open(out + ".json"))
+        assert meta["bn_folded"] is True
+
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"c": 4},
+                                         size=(32, 32))
+        scores, paths = run_exported(out, src, batch_size=4)
+        assert scores.shape == (4, 3)
+
+        # parity vs the UNFOLDED model on the same preprocessed batch
+        from ifcb_classifier_tpu.data.pipeline import (decode_image,
+                                                       pack_canvas_batch)
+        from ifcb_classifier_tpu.ops.preprocess import preprocess_batch
+        predict = make_predict_step(model)
+        imgs = [decode_image(p) for p in sorted(paths)]
+        canvas, sizes, _ = pack_canvas_batch(imgs, batch_size=4)
+        x = preprocess_batch(canvas, sizes, out_size=64)
+        direct = np.asarray(predict(params, stats, x))
+        order = np.argsort(paths)
+        np.testing.assert_allclose(scores[order], direct, atol=1e-3)

@@ -166,7 +166,7 @@ def bench_infer():
     _ = float(acc)
 
     n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
-    trials = []
+    trials, call_rates = [], []
     for _t in range(n_trials):
         acc = jnp.zeros((), jnp.float32)
         done = 0
@@ -175,7 +175,9 @@ def bench_infer():
             probs, acc = compiled(params, batch_stats, canvas, sizes, acc)
             done += n
         _ = float(acc)  # forces the whole dependency chain
-        trials.append(done / (time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        trials.append(done / dt)
+        call_rates.append(len(dev_chunks) / dt)
     ips = statistics.median(trials)
     payload = {
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",
@@ -189,7 +191,11 @@ def bench_infer():
             "infer_imgs_per_sec")}
     if batch_flops:
         payload["flops_per_img"] = round(batch_flops / B / 1e9, 2)  # GF
-        payload.update(_mfu_fields(batch_flops, ips / B))
+        # MFU from actual compiled CALLS, not real-ROI count: the final
+        # chunk pads to B and burns B images of FLOPs regardless, so
+        # ips/B under-reports whenever BENCH_ROIS % BENCH_BATCH != 0
+        payload.update(_mfu_fields(batch_flops,
+                                   statistics.median(call_rates)))
     print(json.dumps(payload))
 
 

@@ -61,7 +61,9 @@ def argparse_nn(parser=None):
                              '(tensor parallelism). E.g. "4x2" on 8 chips. '
                              "Default auto = all devices on DATA (pure "
                              "data-parallel). DATAxMODEL must equal the "
-                             "visible device count.")
+                             "GLOBAL device count; in multi-host fleets "
+                             "the DATA axis splits evenly across hosts "
+                             "(same spec works for TRAIN and RUN).")
 
     argparse_nn_train(train)
     argparse_nn_run(run)

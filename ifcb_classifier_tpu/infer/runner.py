@@ -102,7 +102,19 @@ class InferenceEngine:
         # tests/test_multiprocess.py). Single chip degenerates to plain jit.
         local = jax.local_devices()
         from ..utils.config import parse_mesh
-        n_data, n_model = parse_mesh(mesh, len(local))
+        # --mesh is GLOBAL (same spec as TRAIN — one launch script can pass
+        # one value to both commands); the engine is host-local by design
+        # (bins shard across hosts), so the data axis splits evenly across
+        # processes to give this host's mesh
+        n_proc = jax.process_count()
+        n_data, n_model = parse_mesh(mesh, len(local) * n_proc)
+        if n_proc > 1:
+            if n_data % n_proc:
+                raise ValueError(
+                    f"--mesh {n_data}x{n_model}: the data axis must be a "
+                    f"multiple of the process count ({n_proc}) in "
+                    "multi-host runs")
+            n_data //= n_proc
         if len(local) > 1:
             import jax.tree_util as jtu
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -168,15 +180,9 @@ class InferenceEngine:
         widths = adc["roiWidth"][keep].astype(np.int64)
         starts = adc["startByte"][keep].astype(np.int64)
         roi_buf = bin._roi_bytes
-        # whole-bin bounds check BEFORE any slicing (gobig add_bin parity):
-        # a negative startByte would wrap via Python negative indexing in
-        # _split_oversized and could silently classify wrong bytes
-        bad = np.nonzero((starts < 0) |
-                         (starts + heights * widths > roi_buf.size))[0]
-        if bad.size:
-            raise ValueError(
-                "corrupt bin: ROI byte range out of bounds for target(s) "
-                "{}".format([int(keep[j] + 1) for j in bad[:5]]))
+        err = _roi_bounds_error(roi_buf, keep, heights, widths, starts)
+        if err is not None:  # BEFORE any slicing (gobig add_bin parity)
+            raise err
 
         big_rows, keep, heights, widths, starts = _split_oversized(
             self.predict_images, roi_buf, keep, heights, widths, starts)
@@ -241,6 +247,21 @@ class InferenceEngine:
         fetched = jax.device_get(pending)
         return (np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0),
                 paths)
+
+
+def _roi_bounds_error(roi_buf, keep, heights, widths, starts):
+    """Whole-bin ROI byte-range validation, shared by predict_bin and the
+    gobig aggregator so the two cannot drift (same rationale as
+    _split_oversized): returns a ValueError to raise/report, or None.
+    Catches negative startByte (would wrap via Python negative indexing and
+    silently classify wrong bytes) and out-of-range ends (truncated .roi)."""
+    bad = np.nonzero((starts < 0) |
+                     (starts + heights * widths > roi_buf.size))[0]
+    if bad.size:
+        return ValueError(
+            "corrupt bin: ROI byte range out of bounds for target(s) "
+            "{}".format([int(keep[j] + 1) for j in bad[:5]]))
+    return None
 
 
 def _split_oversized(predict_images, roi_buf, keep, heights, widths, starts):
@@ -311,15 +332,11 @@ class _GobigAggregator:
         starts = adc["startByte"][keep].astype(np.int64)
         roi_buf = bin._roi_bytes
         # whole-bin bounds check BEFORE enqueueing, covering every condition
-        # the packer flags as (0,0) — negative start or out-of-range end
-        # (predict_bin parity: a truncated/corrupt bin fails loudly as a
-        # whole, never classifies garbage)
-        bad = np.nonzero((starts < 0) |
-                         (starts + heights * widths > roi_buf.size))[0]
-        if bad.size:
-            self.on_error(bin_obj, ValueError(
-                "corrupt bin: ROI byte range out of bounds for target(s) "
-                "{}".format([int(keep[j] + 1) for j in bad[:5]])))
+        # the packer flags as (0,0) (predict_bin parity: a truncated/corrupt
+        # bin fails loudly as a whole, never classifies garbage)
+        err = _roi_bounds_error(roi_buf, keep, heights, widths, starts)
+        if err is not None:
+            self.on_error(bin_obj, err)
             return
 
         big_rows, keep, heights, widths, starts = _split_oversized(

@@ -92,11 +92,13 @@ def do_training(args):
                                          TRAIN_ID=args.TRAIN_ID)
     os.makedirs(args.outdir, exist_ok=True)
 
-    # validate --plot params BEFORE training starts (a bad param must not
-    # abort hours into the run at the first best-epoch render)
+    # validate --plot params and --mesh BEFORE the dataset scan (a bad value
+    # must not abort minutes into a large-tree walk / hours into the run)
     if getattr(args, "plot_files", None):
         from ..results.plots import validate_plot_files
         validate_plot_files(args.plot_files, which="train")
+    from ..utils.config import parse_mesh
+    parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
 
     args.seed = seed_everything(args.seed)
 
@@ -221,6 +223,14 @@ def do_training(args):
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
+        if n_proc > 1 and n_data % n_proc:
+            # each host feeds an equal slice of the global batch
+            # (make_array_from_process_local_data below); a 'data' axis
+            # that doesn't split evenly across hosts would mis-assemble
+            raise ValueError(
+                f"--mesh {n_data}x{n_model}: the data axis must be a "
+                f"multiple of the process count ({n_proc}) in multi-host "
+                "runs")
         if args.batch_size % n_data:
             args.batch_size = -(-args.batch_size // n_data) * n_data
             print(f"Rounded batch up to {args.batch_size} "

@@ -36,20 +36,27 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# chip peaks: (dense bf16 FLOP/s, HBM bytes/s)
-CHIP = {"v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
-        "v4": (275e12, 1228e9), "v5p": (459e12, 2765e9),
-        "v6 lite": (918e12, 1640e9), "v6e": (918e12, 1640e9)}
+# HBM bytes/s per chip kind; the FLOP peak comes from bench._PEAK_TFLOPS
+# (ONE shared table — a second copy here already drifted once)
+_HBM_GBS = {"v5 lite": 819, "v5e": 819, "v4": 1228, "v5p": 2765,
+            "v6 lite": 1640, "v6e": 1640, "trillium": 1640}
 
 
 def chip_peaks():
     import jax
+
+    import bench  # repo root (sys.path above); shares the MXU peak table
     kind = jax.devices()[0].device_kind.lower()
-    for key, peaks in CHIP.items():
-        if key in kind:
-            return kind, peaks
-    return kind, (float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12,
-                  float(os.environ.get("BENCH_HBM_GBS", 819)) * 1e9)
+    peak_f = bench._peak_flops()  # honors BENCH_PEAK_TFLOPS override
+    if peak_f is None:
+        peak_f = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+    env_hbm = os.environ.get("BENCH_HBM_GBS")
+    if env_hbm:  # explicit override beats the table
+        peak_b = float(env_hbm) * 1e9
+    else:
+        peak_b = next((v * 1e9 for k, v in _HBM_GBS.items() if k in kind),
+                      819e9)
+    return kind, (peak_f, peak_b)
 
 
 def cost(compiled):
@@ -104,7 +111,8 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True):
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         jnp.zeros((1, size, size, 3), jnp.float32), train=True)
-    params, stats = variables["params"], variables["batch_stats"]
+    # BN-free families (alexnet/squeezenet/plain vgg) have no batch_stats
+    params, stats = variables["params"], variables.get("batch_stats", {})
     if fold:
         from ifcb_classifier_tpu.models.fold import fold_params, supports_fold
         if supports_fold(model_name):
@@ -138,7 +146,8 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True):
             p, acc = compiled(params, stats, x, acc)
         _ = float(acc)
         times.append((time.perf_counter() - t0) / iters)
-    return flops, nbytes, statistics.median(times)
+    did_fold = fold and getattr(model, "fold", False)
+    return flops, nbytes, statistics.median(times), did_fold
 
 
 def report(tag, batch, flops, nbytes, t_meas, peaks):
@@ -192,10 +201,12 @@ def main():
                               + (" remat" if args.remat else ""),
                               args.batch, f, nb, t, peaks))
         if args.infer:
-            f, nb, t = measure_infer(m, args.batch, size, args.iters,
-                                     args.trials)
-            results.append(report(f"{m}@{size} b{args.batch} bf16 infer "
-                                  "(folded)", args.batch, f, nb, t, peaks))
+            f, nb, t, did_fold = measure_infer(m, args.batch, size,
+                                               args.iters, args.trials)
+            tag = " (folded)" if did_fold else ""
+            results.append(report(f"{m}@{size} b{args.batch} bf16 "
+                                  f"infer{tag}", args.batch, f, nb, t,
+                                  peaks))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(dict(chip=kind, peak_flops=peaks[0],

@@ -42,9 +42,23 @@ def ladder_size(max_dim: int) -> int:
 
 def decode_image(path: str, rgb: bool = True) -> np.ndarray:
     """Decode an image file to uint8 (H,W,3) — the reference's
-    `datasets.folder.default_loader` (PIL, .convert('RGB'))."""
+    `datasets.folder.default_loader` (PIL, .convert('RGB')).
+
+    Fast path: the native GIL-free decoder (native/imgdecode.cpp) for 8-bit
+    PNG/JPEG — byte-identical to PIL's convert (pinned by test_native.py)
+    and the reason HostLoader's decode THREADS actually scale. PIL handles
+    everything the native decoder declines (other formats, 16-bit PNG,
+    CMYK JPEG) and the rare oversized image (identical thumbnail rounding
+    matters more than decode speed there)."""
+    from .. import native
+    with open(path, "rb") as f:
+        data = f.read()
+    img = native.decode_bytes_native(data, rgb=rgb)
+    if img is not None and max(img.shape[:2]) <= MAX_CANVAS:
+        return img
     from PIL import Image
-    with Image.open(path) as im:
+    import io
+    with Image.open(io.BytesIO(data)) as im:
         im = im.convert("RGB" if rgb else "L")
         # Host-downscale only the rare oversized image so canvases stay bounded.
         if max(im.size) > MAX_CANVAS:

@@ -1,8 +1,12 @@
 """Native (C++) host-runtime components, loaded via ctypes.
 
-Builds libroipack.so from roipack.cpp on first import (g++, ~1s) and caches
-it next to the source. Falls back to numpy implementations when no compiler
-is available, so the package never hard-requires the native path.
+Builds each .so from its .cpp on first use (g++, ~1s) and caches it next to
+the source. Falls back to pure-Python implementations (numpy / PIL) when no
+compiler or system library is available, so the package never hard-requires
+the native path.
+
+  roipack.cpp    .roi bytes -> canvas batch (deployment-inference hot loop)
+  imgdecode.cpp  PNG/JPEG -> uint8 arrays, GIL-free (training-input hot loop)
 """
 
 from __future__ import annotations
@@ -21,18 +25,22 @@ _lib = None
 _build_error = None
 
 
+def _build_and_load(so, src, extra_libs=()):
+    if (not os.path.isfile(so)) or (
+            os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", so, src, "-lpthread", *extra_libs],
+            check=True, capture_output=True, text=True)
+    return ctypes.CDLL(so)
+
+
 def _load():
     global _lib, _build_error
     if _lib is not None or _build_error is not None:
         return _lib
     try:
-        if (not os.path.isfile(_SO)) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _SO, _SRC, "-lpthread"],
-                check=True, capture_output=True, text=True)
-        lib = ctypes.CDLL(_SO)
+        lib = _build_and_load(_SO, _SRC)
         lib.roipack_pack.restype = ctypes.c_int
         lib.roipack_pack.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -93,3 +101,62 @@ def pack_rois_native(roi_bytes: np.ndarray, starts, heights, widths,
         canvas[i, :ch, :cw] = img[:ch, :cw]
         sizes[i] = (ch, cw)
     return canvas, sizes
+
+
+# ------------------------------------------------------------------ decode --
+
+_IMG_SO = os.path.join(_HERE, "libimgdecode.so")
+_IMG_SRC = os.path.join(_HERE, "imgdecode.cpp")
+
+_img_lib = None
+_img_error = None
+
+
+def _load_img():
+    global _img_lib, _img_error
+    if _img_lib is not None or _img_error is not None:
+        return _img_lib
+    try:
+        lib = _build_and_load(_IMG_SO, _IMG_SRC, ("-lpng", "-ljpeg"))
+        lib.imgdec_probe.restype = ctypes.c_int
+        lib.imgdec_probe.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.imgdec_decode.restype = ctypes.c_int
+        lib.imgdec_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        _img_lib = lib
+    except Exception as e:  # no compiler / no libpng-dev -> PIL fallback
+        _img_error = e
+    return _img_lib
+
+
+def decode_available() -> bool:
+    return _load_img() is not None
+
+
+def decode_bytes_native(data, rgb: bool = True):
+    """Decode PNG/JPEG bytes to uint8 (H,W,3) [rgb] or (H,W) [gray] with
+    PIL-convert semantics, releasing the GIL for the C call (the reason this
+    exists: PIL decode serializes HostLoader's decode threads; this doesn't).
+
+    Returns None when the native path can't handle the input (not built,
+    unrecognized container, 16-bit PNG, CMYK JPEG, corrupt file) — callers
+    must fall back to PIL, which also turns real corruption into PIL's
+    standard exceptions rather than a second error vocabulary."""
+    lib = _load_img()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    if lib.imgdec_probe(buf.ctypes.data, np.int64(buf.size),
+                        ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    shape = (h.value, w.value, 3) if rgb else (h.value, w.value)
+    out = np.empty(shape, np.uint8)
+    rc = lib.imgdec_decode(buf.ctypes.data, np.int64(buf.size),
+                           out.ctypes.data, np.int32(bool(rgb)),
+                           np.int32(h.value), np.int32(w.value))
+    return out if rc == 0 else None

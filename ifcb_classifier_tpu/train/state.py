@@ -109,14 +109,34 @@ def loss_fn(outputs, labels, mask, class_weights=None):
     return cross_entropy(outputs, labels, mask, class_weights)
 
 
+def _mxu_and_reductions_saveable(prim, *_, **__):
+    """jax.checkpoint policy for remat="convs": save the outputs of MXU ops
+    (convs/matmuls) and of reductions (BN batch stats, pooling), recompute
+    everything elementwise (BN normalize, relu, casts) inside the backward
+    fusions. On an HBM-bound CNN the post-BN activations then never
+    materialize in HBM as residuals — roughly halving the conv→BN→relu
+    residual traffic — while the recompute is cheap vector work XLA fuses
+    into the consuming backward kernels. Reductions are saved because
+    recomputing a batch-stat sum would re-read the full conv output (bytes,
+    the thing being economized) to regenerate a [C]-sized vector."""
+    return prim.name in ("conv_general_dilated", "dot_general",
+                         "reduce_sum", "reduce_max", "reduce_window_max",
+                         "reduce_window_sum", "reduce_window", "add_any",
+                         "cumsum", "argmax")
+
+
 def make_train_step(model, tx, axis_name: str | None = None,
-                    remat: bool = False, class_weights=None):
+                    remat: bool | str = False, class_weights=None):
     """One optimizer step: grads (+psum over `axis_name` if data-parallel),
     BN update, optimizer update. Donates the state buffer.
 
-    remat=True rematerializes the forward pass in backprop (jax.checkpoint):
-    ~1.3x FLOPs for a several-fold activation-memory cut, unlocking larger
-    per-chip batches (inception@299 spills HBM past batch 128 without it).
+    remat=True (or "full") rematerializes the whole forward pass in backprop
+    (jax.checkpoint): ~1.3x FLOPs for a several-fold activation-memory cut,
+    unlocking larger per-chip batches (inception@299 spills HBM past batch
+    128 without it). remat="convs" is the selective policy
+    (_mxu_and_reductions_saveable): keeps conv/matmul/reduction outputs,
+    recomputes elementwise chains in the backward — a bandwidth play rather
+    than a capacity play.
 
     class_weights: per-class training-loss weights (`--class-norm`); the
     validation loss stays unweighted so best-epoch/early-stop selection
@@ -133,7 +153,10 @@ def make_train_step(model, tx, axis_name: str | None = None,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats"])
 
-        if remat:
+        if remat == "convs":
+            apply_fn = jax.checkpoint(
+                apply_fn, policy=_mxu_and_reductions_saveable)
+        elif remat:
             apply_fn = jax.checkpoint(apply_fn)
 
         def compute_loss(params):

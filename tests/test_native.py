@@ -156,3 +156,89 @@ def test_pack_rois_native_rejects_overfull_batch():
                                 np.full(5, 4, np.int64),
                                 np.full(5, 4, np.int64),
                                 batch_size=4, canvas_size=64)
+
+
+class TestImgDecode:
+    """Native PNG/JPEG decoder (imgdecode.cpp) parity with PIL: supported
+    variants decode byte-identically to PIL convert('RGB'/'L'); declined
+    variants return None so decode_image falls back to PIL."""
+
+    def _roundtrip(self, pil_img, fmt, rgb):
+        import io
+        from PIL import Image
+        b = io.BytesIO()
+        pil_img.save(b, fmt)
+        data = b.getvalue()
+        got = native.decode_bytes_native(data, rgb=rgb)
+        want = np.asarray(
+            Image.open(io.BytesIO(data)).convert("RGB" if rgb else "L"))
+        return got, want
+
+    def test_native_decoder_builds(self):
+        assert native.decode_available(), getattr(native, "_img_error", None)
+
+    @pytest.mark.parametrize("rgb", [True, False])
+    def test_parity_matrix(self, rgb):
+        from PIL import Image
+        rng = np.random.RandomState(3)
+        gray = rng.randint(0, 255, (41, 67), np.uint8)
+        col = rng.randint(0, 255, (41, 67, 3), np.uint8)
+        rgba = np.dstack([col, rng.randint(0, 255, (41, 67), np.uint8)])
+        cases = [
+            ("png-gray", Image.fromarray(gray), "PNG"),
+            ("png-rgb", Image.fromarray(col), "PNG"),
+            ("png-rgba", Image.fromarray(rgba, "RGBA"), "PNG"),
+            ("png-palette", Image.fromarray(col).quantize(64), "PNG"),
+            ("png-la", Image.merge("LA", [Image.fromarray(gray)] * 2), "PNG"),
+            ("jpeg-gray", Image.fromarray(gray), "JPEG"),
+            ("jpeg-rgb", Image.fromarray(col), "JPEG"),
+        ]
+        for tag, im, fmt in cases:
+            got, want = self._roundtrip(im, fmt, rgb)
+            assert got is not None, f"{tag}: declined"
+            np.testing.assert_array_equal(got, want, err_msg=tag)
+
+    @pytest.mark.parametrize("rgb", [True, False])
+    def test_interlaced_png(self, rgb):
+        import io
+        from PIL import Image
+        col = np.random.RandomState(4).randint(0, 255, (33, 57, 3), np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(col).save(b, "PNG", interlace=True)
+        got = native.decode_bytes_native(b.getvalue(), rgb=rgb)
+        want = np.asarray(Image.open(io.BytesIO(b.getvalue()))
+                          .convert("RGB" if rgb else "L"))
+        np.testing.assert_array_equal(got, want)
+
+    def test_declines_are_none_not_garbage(self):
+        import io
+        from PIL import Image
+        # 16-bit PNG: PIL and libpng disagree on the narrowing; must decline
+        g16 = (np.random.RandomState(5).randint(0, 255, (10, 12))
+               .astype(np.uint16) * 257)
+        b = io.BytesIO()
+        Image.fromarray(g16).save(b, "PNG")
+        assert native.decode_bytes_native(b.getvalue(), True) is None
+        assert native.decode_bytes_native(b"not an image", True) is None
+        assert native.decode_bytes_native(b.getvalue()[:40], True) is None
+
+    def test_decode_image_uses_native_and_matches_pil(self, tmp_path):
+        from PIL import Image
+        from ifcb_classifier_tpu.data.pipeline import decode_image
+        col = np.random.RandomState(6).randint(0, 255, (30, 40, 3), np.uint8)
+        p = str(tmp_path / "x.png")
+        Image.fromarray(col).save(p)
+        for rgb in (True, False):
+            got = decode_image(p, rgb=rgb)
+            want = np.asarray(Image.open(p).convert("RGB" if rgb else "L"))
+            np.testing.assert_array_equal(got, want)
+
+    def test_decode_image_oversized_falls_back_to_pil_thumbnail(self,
+                                                                tmp_path):
+        from PIL import Image
+        from ifcb_classifier_tpu.data.pipeline import MAX_CANVAS, decode_image
+        big = np.zeros((MAX_CANVAS + 100, 64), np.uint8)
+        p = str(tmp_path / "big.png")
+        Image.fromarray(big).save(p)
+        out = decode_image(p, rgb=True)
+        assert max(out.shape[:2]) <= MAX_CANVAS  # PIL thumbnail applied

@@ -163,3 +163,33 @@ class TestEpochCSVDynamicColumns:
                                  "f1_macro", "f1_weighted", "lr"]
         assert rows[0]["lr"] == "" and rows[1]["lr"] == "0.001"
         assert "output_classes" not in rows[0]
+
+
+class TestRematParity:
+    """remat modes are pure scheduling: identical loss and identical updated
+    params vs the non-remat step (full = capacity play for big batches;
+    "convs" = the selective bandwidth policy saving conv/matmul/reduction
+    outputs and recomputing elementwise BN/relu chains in backprop)."""
+
+    def test_modes_match_baseline(self):
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                     make_train_step)
+        model = get_namebrand_model("resnet18", 4, dtype=jnp.float32)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), 32)
+        rng = np.random.RandomState(0)
+        batch = dict(images=jnp.asarray(rng.rand(8, 32, 32, 3), jnp.float32),
+                     labels=jnp.asarray(rng.randint(0, 4, 8), jnp.int32),
+                     mask=jnp.ones((8,), bool))
+        outs = {}
+        for mode in (False, "convs", True):
+            step = jax.jit(make_train_step(model, tx, remat=mode))
+            s2, loss = step(state, batch, jax.random.PRNGKey(7))
+            leaf = jax.tree_util.tree_leaves(s2.params)[0]
+            outs[mode] = (float(loss), np.asarray(leaf))
+        for mode in ("convs", True):
+            assert outs[mode][0] == pytest.approx(outs[False][0], abs=1e-6)
+            np.testing.assert_allclose(outs[mode][1], outs[False][1],
+                                       atol=1e-6)

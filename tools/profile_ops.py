@@ -1,0 +1,170 @@
+"""Per-op device-time profile of the train or (folded) infer step.
+
+Round 2's "flat profile" evidence was produced with ad-hoc notebook code;
+this makes it a reproducible tool: trace N executions of the compiled step
+with jax.profiler, parse the XSpace via jax.profiler.ProfileData, aggregate
+device time by XLA op (fusion) name, and print the top-K with cumulative
+percentages. The op names carry XLA's fusion labels, so "where do the
+milliseconds go" is answered at the granularity the compiler actually
+schedules. Reference workload being profiled: the reference's train loop
+(neuston_net.py:101-115) / RUN loop (neuston_net.py:233-271) equivalents.
+
+Usage (TPU):
+  python tools/profile_ops.py --mode infer --model inception_v3 --batch 256
+  python tools/profile_ops.py --mode train --model inception_v3 --batch 128
+"""
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _compiled_step(mode, model_name, batch, remat):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ifcb_classifier_tpu.models import get_namebrand_model, input_size_for
+    from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                 make_predict_step,
+                                                 make_train_step)
+
+    size = input_size_for(model_name)
+    if mode == "train":
+        model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), size)
+        step = jax.jit(make_train_step(model, tx, remat=remat),
+                       donate_argnums=0)
+        rng = np.random.RandomState(0)
+        b = dict(images=jnp.asarray(rng.rand(batch, size, size, 3),
+                                    jnp.float32),
+                 labels=jnp.asarray(rng.randint(0, 50, batch), jnp.int32),
+                 mask=jnp.ones((batch,), bool))
+        compiled = step.lower(state, b, jax.random.PRNGKey(0)).compile()
+
+        def run(n):
+            nonlocal state
+            for i in range(n):
+                state, loss = compiled(state, b, jax.random.PRNGKey(i))
+            _ = float(loss)
+        return run
+
+    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, size, size, 3), jnp.float32), train=True)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    from ifcb_classifier_tpu.models.fold import fold_params, supports_fold
+    if supports_fold(model_name):
+        params, stats = fold_params(model_name, jax.device_get(params),
+                                    jax.device_get(stats))
+        model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16,
+                                    fold_bn=True)
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
+    predict = make_predict_step(model)
+
+    @jax.jit
+    def f(params, stats, x, acc):
+        p = predict(params, stats, x)
+        return p, acc + jnp.sum(p)
+
+    import numpy as np
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3),
+                    jnp.float32)
+    acc0 = jnp.zeros((), jnp.float32)
+    compiled = f.lower(params, stats, x, acc0).compile()
+
+    def run(n):
+        acc = acc0
+        for _ in range(n):
+            p, acc = compiled(params, stats, x, acc)
+        _ = float(acc)
+    return run
+
+
+def collect(run, iters, outdir):
+    import jax
+    run(2)  # warm
+    with jax.profiler.trace(outdir):
+        t0 = time.perf_counter()
+        run(iters)
+        wall = time.perf_counter() - t0
+    return wall
+
+
+def top_ops(trace_dir, k):
+    """Aggregate device-plane event durations by op name."""
+    from jax.profiler import ProfileData
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {trace_dir}"
+    data = ProfileData.from_file(paths[0])
+
+    def aggregate(plane):
+        agg, total = collections.Counter(), 0.0
+        for line in plane.lines:
+            for ev in line.events:
+                agg[ev.name] += ev.duration_ns
+                total += ev.duration_ns
+        return agg, total
+
+    planes = list(data.planes)
+    device = [p for p in planes
+              if "tpu" in p.name.lower() or "/device" in p.name.lower()]
+    if not device:
+        # fall back to the busiest plane so the tool still says something
+        # useful on unexpected backends; name it so the reader knows
+        scored = sorted(((aggregate(p)[1], p) for p in planes),
+                        key=lambda x: -x[0])
+        device = [scored[0][1]] if scored and scored[0][0] else []
+        if device:
+            print(f"[no TPU plane; using busiest plane {device[0].name!r}; "
+                  f"all planes: {[p.name for p in planes]}]")
+    agg, total = collections.Counter(), 0.0
+    for plane in device:
+        a, t = aggregate(plane)
+        agg.update(a)
+        total += t
+    return agg.most_common(k), total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["train", "infer"], default="infer")
+    ap.add_argument("--model", default="inception_v3")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--remat", nargs="?", const="full", default=False,
+                    choices=["full", "convs"])
+    args = ap.parse_args()
+
+    from ifcb_classifier_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()
+    run = _compiled_step(args.mode, args.model, args.batch, args.remat)
+    outdir = tempfile.mkdtemp(prefix="ifcbnn_prof_")
+    wall = collect(run, args.iters, outdir)
+    print(f"{args.mode} {args.model} b{args.batch}: "
+          f"{wall / args.iters * 1e3:.2f} ms/step wall ({args.iters} iters)")
+    ops, total = top_ops(outdir, args.top)
+    print(f"device total {total / 1e6:.1f} ms over {args.iters} iters "
+          f"({total / 1e6 / args.iters:.2f} ms/step)\n")
+    cum = 0.0
+    for name, ns in ops:
+        cum += ns
+        print(f"{ns / 1e6 / args.iters:8.3f} ms/step  "
+              f"{ns / total * 100:5.1f}%  (cum {cum / total * 100:5.1f}%)  "
+              f"{name[:110]}")
+    print(f"\ntrace dir kept: {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -182,7 +182,15 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--infer", action="store_true",
                     help="also profile the (folded) inference graph")
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the train measurement (an infer-only sweep "
+                         "at batch >=144 must not pay for a spilled-HBM "
+                         "train step)")
+    ap.add_argument("--remat", nargs="?", const="full", default=False,
+                    choices=["full", "convs"],
+                    help="full = checkpoint the whole forward (capacity "
+                         "play); convs = save conv/matmul/reduction "
+                         "outputs, recompute elementwise (bandwidth play)")
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
@@ -195,11 +203,13 @@ def main():
     results = []
     for m in args.models.split(","):
         size = input_size_for(m)
-        f, nb, t = measure_train(m, args.batch, size, args.iters,
-                                 args.trials, remat=args.remat)
-        results.append(report(f"{m}@{size} b{args.batch} bf16 train"
-                              + (" remat" if args.remat else ""),
-                              args.batch, f, nb, t, peaks))
+        if not args.no_train:
+            f, nb, t = measure_train(m, args.batch, size, args.iters,
+                                     args.trials, remat=args.remat)
+            results.append(report(f"{m}@{size} b{args.batch} bf16 train"
+                                  + (f" remat={args.remat}" if args.remat
+                                     else ""),
+                                  args.batch, f, nb, t, peaks))
         if args.infer:
             f, nb, t, did_fold = measure_infer(m, args.batch, size,
                                                args.iters, args.trials)

@@ -157,6 +157,37 @@ def bench_infer():
     dev_chunks = [(jax.device_put(c), jax.device_put(s), n)
                   for c, s, n in chunks]
 
+    # BENCH_PRECISION=int8: the quantized speed tier (models/quant.py, the
+    # RUN --precision int8 product path). Mirrors the engine's lazy
+    # calibration: activation scales from ONE preprocessed canvas batch of
+    # this corpus, then the timed graph runs every conv on the int8 MXU.
+    quant = os.environ.get("BENCH_PRECISION") == "int8"
+    if quant:
+        assert folded, "int8 builds on the folded graph (unset BENCH_FOLD=0)"
+        from ifcb_classifier_tpu.models import quant as Q
+        calib_fn, geoms = Q.make_calib_fn(model)
+
+        @jax.jit
+        def calib_batch(params, stats, canvas, sizes):
+            x = preprocess_batch(canvas, sizes, out_size=299,
+                                 dtype=jnp.float32)
+            return calib_fn(params, stats, x)
+
+        absmax = {k: float(v) for k, v in jax.device_get(
+            calib_batch(params, batch_stats, *dev_chunks[0][:2])).items()}
+        pruned, qconv = Q.quantize_params(jax.device_get(params),
+                                          absmax, geoms)
+        pruned["__quant__"] = qconv
+        params = jax.device_put(pruned)
+        predict_q = Q.make_quant_predict(model, absmax, geoms)
+
+        @jax.jit
+        def run_batch(params, stats, canvas, sizes, acc):  # noqa: F811
+            x = preprocess_batch(canvas, sizes, out_size=299,
+                                 dtype=jnp.float32)
+            probs = predict_q(params, stats, x)
+            return probs, acc + jnp.sum(probs)
+
     # compile via lower() so XLA's FLOP count is available for MFU
     acc0 = jnp.zeros((), jnp.float32)
     compiled = run_batch.lower(params, batch_stats,
@@ -184,6 +215,7 @@ def bench_infer():
         "value": round(ips, 2), "unit": "images/sec/chip",
         "host_pack_imgs_per_sec": round(pack_rate, 0),
         "bn_folded": folded,
+        "precision": "int8" if quant else "bf16",
         "trials": [round(t, 1) for t in trials],
         "spread_pct": round(100.0 * (max(trials) - min(trials)) / ips, 2),
         "vs_baseline": _vs_baseline(

@@ -48,9 +48,15 @@ def argparse_nn(parser=None):
                         help="Number of images per batch. Default is 108")
     common.add_argument("--loaders", metavar="N", default=4, type=int,
                         help="Number of data-loading threads. Default is 4")
-    common.add_argument("--precision", choices=["auto", "bf16", "fp32"],
+    common.add_argument("--precision",
+                        choices=["auto", "bf16", "fp32", "int8"],
                         default="auto",
-                        help="Compute dtype; auto = bf16 on TPU, fp32 on CPU")
+                        help="Compute dtype; auto = bf16 on TPU, fp32 on "
+                             "CPU. int8 (RUN only): post-training-quantized "
+                             "convolutions on the MXU int8 path — fastest "
+                             "inference tier; activation scales calibrate "
+                             "on the first batch; scores shift at the ~1e-2 "
+                             "level vs bf16 (inception_v3/resnet*/vgg*_bn)")
     common.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in backprop "
                              "(~1.3x FLOPs for much lower memory; enables "
@@ -284,10 +290,12 @@ def main_cli(argv=None):
         # hparams) and supplies the {MODEL_ID} for --outdir templating
         from .infer.runner import InferenceEngine
         from .utils.config import resolve_dtype
+        precision = getattr(args, "precision", None)
         engine = InferenceEngine(
             args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(getattr(args, "precision", None)),
-            mesh=getattr(args, "mesh", None))
+            dtype=resolve_dtype(None if precision == "int8" else precision),
+            mesh=getattr(args, "mesh", None),
+            quant=precision == "int8")
     proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
     main(args, engine=engine)
 

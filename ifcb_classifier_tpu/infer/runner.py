@@ -43,7 +43,7 @@ class InferenceEngine:
     """Persistent jit predict pipeline: canvas batch → probs."""
 
     def __init__(self, ckpt_path, batch_size=108, dtype=None, fold=None,
-                 mesh=None):
+                 mesh=None, quant=False):
         params, batch_stats, hparams = load_checkpoint(ckpt_path)
         self.hparams = hparams
         self.classes = hparams["classes"]
@@ -69,6 +69,25 @@ class InferenceEngine:
             params, batch_stats = fold_params(hparams["MODEL"], params,
                                               batch_stats)
 
+        # --precision int8 (models/quant.py): calibrated lazily on the FIRST
+        # batch this engine sees (activation scales need real data), then
+        # every score — including that first batch's — comes from the int8
+        # graph. Requires the folded graph (quantization of the BN-merged
+        # conv weights).
+        self.quant = bool(quant)
+        self._quant_ready = False
+        if self.quant:
+            from ..models.quant import supports_quant
+            if not supports_quant(hparams["MODEL"]):
+                raise ValueError(
+                    f"--precision int8 is not supported for "
+                    f"{hparams['MODEL']!r} (families: inception_v3, "
+                    "resnet*, vgg*_bn — depthwise/grouped convs gain "
+                    "nothing from the int8 MXU path)")
+            if not self.folded:
+                raise ValueError("--precision int8 requires BN folding "
+                                 "(unset IFCBNN_NO_FOLD)")
+
         # pretrained must round-trip from the checkpoint: torchvision's
         # inception_v3(pretrained=True) forces transform_input=True — a MODEL
         # attribute that applies at inference too (the reference serves it
@@ -78,18 +97,8 @@ class InferenceEngine:
                                     pretrained=bool(hparams.get("pretrained")),
                                     dtype=dtype, fold_bn=self.folded)
         self.model = model
-        self.params = jax.device_put(params)
-        self.batch_stats = jax.device_put(batch_stats)
-        predict = make_predict_step(model)
-        mean, std = (parse_imgnorm(self.img_norm) if self.img_norm
-                     else (None, None))
-
-        from ..ops.preprocess import preprocess_batch
-
-        def run_batch_fn(params, batch_stats, canvas, sizes):
-            images = preprocess_batch(canvas, sizes, out_size=self.resize,
-                                      mean=mean, std=std, dtype=jnp.float32)
-            return predict(params, batch_stats, images)
+        self._mean_std = (parse_imgnorm(self.img_norm) if self.img_norm
+                          else (None, None))
 
         # multi-device: shard the canvas batch over 'data'; `mesh`
         # ("DATA[xMODEL]", the --mesh surface) optionally also shards the
@@ -115,26 +124,80 @@ class InferenceEngine:
                     f"multiple of the process count ({n_proc}) in "
                     "multi-host runs")
             n_data //= n_proc
+        self._mesh_shape = (n_data, n_model)
+        if len(local) > 1 and self.batch_size % n_data:
+            self.batch_size = -(-self.batch_size // n_data) * n_data
+        self.params, self.batch_stats, self._run_batch = \
+            self._place_and_jit(params, batch_stats, make_predict_step(model))
+
+    def _preprocess(self, canvas, sizes):
+        from ..ops.preprocess import preprocess_batch
+        mean, std = self._mean_std
+        return preprocess_batch(canvas, sizes, out_size=self.resize,
+                                mean=mean, std=std, dtype=jnp.float32)
+
+    def _place_and_jit(self, params, batch_stats, predict):
+        """device_put the (params, batch_stats) trees per the engine mesh and
+        jit the canvas->probs program around `predict`. Shared by the
+        bf16/fp32 build and the post-calibration int8 rebuild (whose pruned
+        params tree carries the int8 leaves under '__quant__' — replicated
+        like everything non-head by parallel/mesh.py rules)."""
+
+        def run_batch_fn(params, batch_stats, canvas, sizes):
+            return predict(params, batch_stats,
+                           self._preprocess(canvas, sizes))
+
+        local = jax.local_devices()
         if len(local) > 1:
             import jax.tree_util as jtu
             from jax.sharding import NamedSharding, PartitionSpec as P
             from ..parallel.mesh import make_mesh, params_shardings
-            if self.batch_size % n_data:
-                self.batch_size = -(-self.batch_size // n_data) * n_data
+            n_data, n_model = self._mesh_shape
             dev_mesh = make_mesh(n_data=n_data, n_model=n_model,
                                  devices=local)
             rep = NamedSharding(dev_mesh, P())
             shard = NamedSharding(dev_mesh, P("data"))
-            psh = params_shardings(self.params, dev_mesh)
-            ssh = jtu.tree_map(lambda _: rep, self.batch_stats)
-            self.params = jax.device_put(self.params, psh)
-            self.batch_stats = jax.device_put(self.batch_stats, ssh)
-            self._run_batch = jax.jit(
-                run_batch_fn,
-                in_shardings=(psh, ssh, shard, shard),
-                out_shardings=rep)
+            psh = params_shardings(params, dev_mesh)
+            ssh = jtu.tree_map(lambda _: rep, batch_stats)
+            params = jax.device_put(params, psh)
+            batch_stats = jax.device_put(batch_stats, ssh)
+            run = jax.jit(run_batch_fn,
+                          in_shardings=(psh, ssh, shard, shard),
+                          out_shardings=rep)
         else:
-            self._run_batch = jax.jit(run_batch_fn)
+            params = jax.device_put(params)
+            batch_stats = jax.device_put(batch_stats)
+            run = jax.jit(run_batch_fn)
+        return params, batch_stats, run
+
+    def _dispatch(self, canvas, sizes):
+        """All inference routes through here: on the first batch of an int8
+        engine, calibrate activation scales from THIS data and swap in the
+        quantized program (the batch is then re-dispatched quantized, so
+        every score the engine ever returns comes from one graph)."""
+        if self.quant and not self._quant_ready:
+            self._calibrate(canvas, sizes)
+        return self._run_batch(self.params, self.batch_stats, canvas, sizes)
+
+    def _calibrate(self, canvas, sizes):
+        from ..models.quant import (make_calib_fn, make_quant_predict,
+                                    quantize_params)
+        calib_fn, geoms = make_calib_fn(self.model)
+
+        def calib_batch(params, batch_stats, canvas, sizes):
+            return calib_fn(params, batch_stats,
+                            self._preprocess(canvas, sizes))
+
+        absmax = jax.jit(calib_batch)(self.params, self.batch_stats,
+                                      canvas, sizes)
+        absmax = {k: float(v) for k, v in jax.device_get(absmax).items()}
+        pruned, qconv = quantize_params(jax.device_get(self.params),
+                                        absmax, geoms)
+        pruned["__quant__"] = qconv
+        predict_q = make_quant_predict(self.model, absmax, geoms)
+        self.params, self.batch_stats, self._run_batch = self._place_and_jit(
+            pruned, jax.device_get(self.batch_stats), predict_q)
+        self._quant_ready = True
 
     def predict_images(self, images):
         """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).
@@ -148,8 +211,7 @@ class InferenceEngine:
             chunk = images[start:start + B]
             canvas, sizes, n = pack_canvas_batch(
                 chunk, batch_size=B, rgb=chunk[0].ndim == 3)
-            pending.append(self._run_batch(self.params, self.batch_stats,
-                                           canvas, sizes))
+            pending.append(self._dispatch(canvas, sizes))
             ns.append(n)
         fetched = jax.device_get(pending)
         return np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0)
@@ -212,8 +274,7 @@ class InferenceEngine:
                         "corrupt bin: ROI byte range out of bounds for "
                         "target(s) {}".format(
                             [int(targets[sel[j]]) for j in bad[:5]]))
-                pending.append((self._run_batch(
-                    self.params, self.batch_stats, canvas, sizes), sel))
+                pending.append((self._dispatch(canvas, sizes), sel))
         probs_by_target = dict(big_rows)
         for probs, sel in zip(jax.device_get([p for p, _ in pending]),
                               [s for _, s in pending]):
@@ -239,8 +300,7 @@ class InferenceEngine:
         (probs [N,C], paths in traversal order). Async dispatch, one fetch."""
         pending, ns, paths = [], [], []
         for b in prefetch(iter(loader)):
-            pending.append(self._run_batch(self.params, self.batch_stats,
-                                           b["canvas"], b["sizes"]))
+            pending.append(self._dispatch(b["canvas"], b["sizes"]))
             n = int(b["mask"].sum())
             ns.append(n)
             paths.extend(loader.items[i] for i in b["indices"][:n])
@@ -399,9 +459,7 @@ class _GobigAggregator:
                 [canvas, np.zeros((B - len(items), S, S), np.uint8)], axis=0)
             sizes = np.concatenate(
                 [sizes, np.ones((B - len(items), 2), np.int32)], axis=0)
-        self.inflight.append((self.engine._run_batch(
-            self.engine.params, self.engine.batch_stats, canvas, sizes),
-            meta))
+        self.inflight.append((self.engine._dispatch(canvas, sizes), meta))
         if len(self.inflight) > self.depth:
             self._drain_one()
 
@@ -468,12 +526,16 @@ def do_run(args, engine=None):
     if engine is None:
         # --precision is honored on RUN too: auto = bf16 on TPU (measured
         # score deltas vs fp32 quantified in QUIRKS.md / test_bf16_infer.py),
-        # fp32 = reference-exact inference at ~1/3 TPU throughput
+        # fp32 = reference-exact inference at ~1/3 TPU throughput, int8 =
+        # the quantized speed tier (models/quant.py; elementwise stays at
+        # the backend default dtype)
         from ..utils.config import resolve_dtype
+        precision = getattr(args, "precision", None)
         engine = InferenceEngine(
             args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(getattr(args, "precision", None)),
-            mesh=getattr(args, "mesh", None))
+            dtype=resolve_dtype(None if precision == "int8" else precision),
+            mesh=getattr(args, "mesh", None),
+            quant=precision == "int8")
     import random as _random
     _random.seed(engine.seed)
 

@@ -114,5 +114,10 @@ def resolve_dtype(precision):
     import jax.numpy as jnp
     if precision in (None, "auto"):
         return default_compute_dtype()
+    if precision == "int8":
+        # int8 is an INFERENCE-ENGINE mode (quantized convs, models/quant.py)
+        # not a compute dtype — TRAIN and other callers must reject it loudly
+        raise ValueError("--precision int8 applies to RUN only "
+                         "(post-training quantization of a trained model)")
     return {"bf16": jnp.bfloat16, "fp32": jnp.float32,
             "f32": jnp.float32}[precision]

@@ -1,0 +1,134 @@
+"""Opt-in int8 post-training quantization (models/quant.py, --precision
+int8): numerics vs the folded full-precision graph, engine integration
+(lazy first-batch calibration), CLI surface, and the unsupported-family
+guard. No reference analog — this is the TPU-native speed tier beyond the
+reference's fp32 eager inference (neuston_models.py:152-157)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import make_roi, write_bin
+from test_fold import _randomized_variables
+
+
+def _quant_pipeline(name, size, n_classes=5, batch=6):
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.models import quant as Q
+    from ifcb_classifier_tpu.models.fold import fold_params
+
+    model = get_namebrand_model(name, n_classes)
+    params, stats = _randomized_variables(model, jax.random.PRNGKey(1), size)
+    fparams, fstats = fold_params(name, params, stats)
+    fmodel = get_namebrand_model(name, n_classes, fold_bn=True)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3))
+
+    calib_fn, geoms = Q.make_calib_fn(fmodel)
+    absmax = {k: float(v) for k, v in
+              jax.device_get(jax.jit(calib_fn)(fparams, fstats, x)).items()}
+    pruned, qconv = Q.quantize_params(fparams, absmax, geoms)
+    pruned["__quant__"] = qconv
+    predict_q = Q.make_quant_predict(fmodel, absmax, geoms)
+    probs_q = jax.jit(predict_q)(pruned, fstats, x)
+
+    from ifcb_classifier_tpu.train.state import make_predict_step
+    probs = make_predict_step(fmodel)(fparams, fstats, x)
+    return np.asarray(probs_q), np.asarray(probs), qconv, pruned
+
+
+class TestQuantNumerics:
+    @pytest.mark.parametrize("name,size", [("resnet18", 64),
+                                           ("vgg11_bn", 224)])
+    def test_scores_close_and_argmax_agrees(self, name, size):
+        probs_q, probs, qconv, _ = _quant_pipeline(name, size)
+        assert len(qconv) > 0
+        # int8 PTQ gate: softmax scores drift at most ~1e-2, argmax holds
+        assert float(np.abs(probs_q - probs).max()) < 2e-2
+        assert (probs_q.argmax(-1) == probs.argmax(-1)).all()
+
+    def test_weights_are_int8_and_pruned(self):
+        probs_q, _, qconv, pruned = _quant_pipeline("resnet18", 32)
+        leaf = next(iter(qconv.values()))
+        assert leaf["w_int8"].dtype == np.int8
+        assert leaf["w_scale"].ndim == 1 and leaf["bias"].ndim == 1
+        # the original conv kernels must be GONE from the param tree
+        # (shipping both would double weight traffic)
+        assert "conv" not in pruned.get("conv1", {}), "kernel not pruned"
+        assert np.isfinite(probs_q).all()
+
+    def test_supports_quant_families(self):
+        from ifcb_classifier_tpu.models.quant import supports_quant
+        assert supports_quant("inception_v3")
+        assert supports_quant("resnet50")
+        assert supports_quant("vgg16_bn")
+        assert not supports_quant("efficientnet_b0")  # depthwise convs
+        assert not supports_quant("densenet121")      # not foldable
+        assert not supports_quant("alexnet")          # no BN to fold
+
+
+class TestEngineQuant:
+    @pytest.fixture()
+    def ckpt(self, tmp_path):
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        model = get_namebrand_model("resnet18", 2)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(3),
+                                              32)
+        p = str(tmp_path / "m.ptl")
+        save_checkpoint(p, params, stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="m", seed=1, img_norm=None))
+        return p
+
+    def test_engine_calibrates_on_first_batch_and_scores_match(self, ckpt):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rng = np.random.RandomState(0)
+        imgs = [rng.randint(0, 255, (20 + i, 24 - i), np.uint8)
+                for i in range(5)]
+        eng = InferenceEngine(ckpt, batch_size=4, quant=True)
+        assert eng.quant and not eng._quant_ready
+        p_q = eng.predict_images(imgs)          # calibrates, then quantized
+        assert eng._quant_ready
+        ref = InferenceEngine(ckpt, batch_size=4)
+        p_ref = ref.predict_images(imgs)
+        assert p_q.shape == p_ref.shape
+        assert np.abs(p_q - p_ref).max() < 2e-2
+        assert (p_q.argmax(-1) == p_ref.argmax(-1)).all()
+        # second call must reuse the quantized program (no recalibration):
+        # identical inputs -> identical outputs
+        p_q2 = eng.predict_images(imgs)
+        np.testing.assert_array_equal(p_q, p_q2)
+
+    def test_engine_quant_on_bins(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        base = write_bin(str(tmp_path), "D20250401T000000_IFCB900",
+                         [make_roi(18, 22, 1), make_roi(12, 12, 2)], 2)
+        eng = InferenceEngine(ckpt, batch_size=8, quant=True)
+        ref = InferenceEngine(ckpt, batch_size=8)
+        t1, p1 = eng.predict_bin(Bin(base + ".adc"))
+        t2, p2 = ref.predict_bin(Bin(base + ".adc"))
+        assert t1 == t2
+        assert np.abs(p1 - p2).max() < 2e-2
+
+    def test_unsupported_family_fails_loudly(self, tmp_path):
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        model = get_namebrand_model("squeezenet", 2)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)},
+                       jnp.zeros((1, 32, 32, 3)), train=True)
+        p = str(tmp_path / "s.ptl")
+        save_checkpoint(p, v["params"], v.get("batch_stats", {}),
+                        dict(MODEL="squeezenet", classes=["a", "b"],
+                             resize=32, model_id="s", seed=1, img_norm=None))
+        with pytest.raises(ValueError, match="int8"):
+            InferenceEngine(p, batch_size=4, quant=True)
+
+    def test_train_rejects_int8(self):
+        from ifcb_classifier_tpu.utils.config import resolve_dtype
+        with pytest.raises(ValueError, match="RUN only"):
+            resolve_dtype("int8")

@@ -674,9 +674,11 @@ class TestOrchestrationReviewFixes:
         seen = {}
 
         class Probe:
-            def __init__(self, path, batch_size=108, dtype=None, mesh=None):
+            def __init__(self, path, batch_size=108, dtype=None, mesh=None,
+                         quant=False):
                 seen["dtype"] = dtype
                 seen["mesh"] = mesh
+                seen["quant"] = quant
                 raise RuntimeError("probe stop")
 
         monkeypatch.setattr(runner, "InferenceEngine", Probe)
@@ -689,6 +691,12 @@ class TestOrchestrationReviewFixes:
                           "RUN", "src", ckpt, "rid"])
         assert seen["dtype"] == jnp.float32
         assert seen["mesh"] == "8x1"
+        # int8 maps to quant=True with the auto compute dtype for the
+        # surrounding elementwise graph
+        with pytest.raises(RuntimeError, match="probe stop"):
+            cli.main_cli(["--precision", "int8", "RUN", "src", ckpt, "rid"])
+        assert seen["quant"] is True
+        assert seen["dtype"] == jnp.float32  # auto on CPU test backend
 
     def test_filter_mode_validated(self, ckpt, bin_tree, tmp_path):
         from ifcb_classifier_tpu.infer.runner import do_run

@@ -242,3 +242,14 @@ class TestImgDecode:
         Image.fromarray(big).save(p)
         out = decode_image(p, rgb=True)
         assert max(out.shape[:2]) <= MAX_CANVAS  # PIL thumbnail applied
+
+    def test_decode_image_16bit_falls_back_to_pil(self, tmp_path):
+        from PIL import Image
+        from ifcb_classifier_tpu.data.pipeline import decode_image
+        g16 = (np.random.RandomState(7).randint(0, 255, (12, 14))
+               .astype(np.uint16) * 257)
+        p = str(tmp_path / "deep.png")
+        Image.fromarray(g16).save(p)
+        out = decode_image(p, rgb=True)  # native declines -> PIL path
+        want = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(out, want)

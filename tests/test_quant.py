@@ -132,3 +132,54 @@ class TestEngineQuant:
         from ifcb_classifier_tpu.utils.config import resolve_dtype
         with pytest.raises(ValueError, match="RUN only"):
             resolve_dtype("int8")
+
+
+class TestQuantService:
+    """int8 under the service paths: watch-mode do_run calibrates once on
+    the first bin and keeps serving subsequent arrivals quantized; gobig
+    routes through the same _dispatch hook."""
+
+    def test_watch_mode_serves_int8(self, tmp_path, monkeypatch):
+        import argparse
+        import os
+        import time as real_time
+
+        from ifcb_classifier_tpu.infer import runner
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+
+        model = get_namebrand_model("resnet18", 2)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(5),
+                                              32)
+        ck = str(tmp_path / "m.ptl")
+        save_checkpoint(ck, params, stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="m", seed=1, img_norm=None))
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20240401T000000_IFCB900",
+                  [make_roi(16, 20, 1), make_roi(10, 10, 2)], 2)
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+
+            def time(self):
+                return real_time.time() + 1e6  # everything quiescent
+
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 1:  # second bin arrives mid-service
+                    write_bin(str(root), "D20240402T000000_IFCB900",
+                              [make_roi(12, 12, 3)], 2)
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        out = str(tmp_path / "out")
+        args = argparse.Namespace(
+            cmd_mode="RUN", SRC=str(root), MODEL=ck, RUN_ID="r",
+            batch_size=8, loaders=1, src_type="bin", outdir=out,
+            outfile=["{BIN_ID}.json"], filter=None, clobber=False,
+            gobig=False, cmd_timestamp="2026-08-16T00:00:00+00:00",
+            watch=0.01, watch_passes=3, precision="int8")
+        runner.do_run(args)
+        assert sorted(os.listdir(out)) == ["D20240401T000000_IFCB900.json",
+                                           "D20240402T000000_IFCB900.json"]

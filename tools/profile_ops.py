@@ -108,9 +108,9 @@ def top_ops(trace_dir, k):
     assert paths, f"no xplane under {trace_dir}"
     data = ProfileData.from_file(paths[0])
 
-    def aggregate(plane):
+    def aggregate(lines):
         agg, total = collections.Counter(), 0.0
-        for line in plane.lines:
+        for line in lines:
             for ev in line.events:
                 agg[ev.name] += ev.duration_ns
                 total += ev.duration_ns
@@ -119,20 +119,25 @@ def top_ops(trace_dir, k):
     planes = list(data.planes)
     device = [p for p in planes
               if "tpu" in p.name.lower() or "/device" in p.name.lower()]
-    if not device:
+    # The device plane carries several overlapping timelines: 'XLA Modules'
+    # (one whole-program span), 'XLA Ops' (the real serialized execution
+    # timeline — what we want), and 'Async XLA Ops' (DMA spans whose
+    # durations include the time they overlap compute — summing those
+    # double-counts wildly). Aggregate 'XLA Ops' only when present.
+    lines = [ln for p in device for ln in p.lines if ln.name == "XLA Ops"]
+    if not lines:
+        lines = [ln for p in device for ln in p.lines]
+    if not lines:
         # fall back to the busiest plane so the tool still says something
         # useful on unexpected backends; name it so the reader knows
-        scored = sorted(((aggregate(p)[1], p) for p in planes),
+        scored = sorted(((aggregate(p.lines)[1], p) for p in planes),
                         key=lambda x: -x[0])
-        device = [scored[0][1]] if scored and scored[0][0] else []
-        if device:
-            print(f"[no TPU plane; using busiest plane {device[0].name!r}; "
+        best = scored[0][1] if scored and scored[0][0] else None
+        if best is not None:
+            print(f"[no TPU plane; using busiest plane {best.name!r}; "
                   f"all planes: {[p.name for p in planes]}]")
-    agg, total = collections.Counter(), 0.0
-    for plane in device:
-        a, t = aggregate(plane)
-        agg.update(a)
-        total += t
+            lines = list(best.lines)
+    agg, total = aggregate(lines)
     return agg.most_common(k), total
 
 

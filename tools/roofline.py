@@ -99,7 +99,8 @@ def measure_train(model_name, batch, size, iters, trials, remat=False):
     return flops, nbytes, statistics.median(times)
 
 
-def measure_infer(model_name, batch, size, iters, trials, fold=True):
+def measure_infer(model_name, batch, size, iters, trials, fold=True,
+                  copts=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,7 +135,10 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True):
     x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3),
                     jnp.float32)
     acc0 = jnp.zeros((), jnp.float32)
-    compiled = run.lower(params, stats, x, acc0).compile()
+    # --copts: per-compile XLA options (env XLA_FLAGS with --xla_tpu_* is
+    # rejected by the local flag parser — CLAUDE.md)
+    compiled = run.lower(params, stats, x, acc0).compile(
+        compiler_options=copts or None)
     flops, nbytes = cost(compiled)
     p, acc = compiled(params, stats, x, acc0)
     _ = float(acc)
@@ -192,7 +196,14 @@ def main():
                          "play); convs = save conv/matmul/reduction "
                          "outputs, recompute elementwise (bandwidth play)")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--copts", default=None,
+                    help="comma-separated XLA compiler options k=v for the "
+                         "INFER compile (A/B experiments; e.g. "
+                         "xla_tpu_enable_latency_hiding_scheduler=true)")
     args = ap.parse_args()
+    copts = None
+    if args.copts:
+        copts = dict(kv.split("=", 1) for kv in args.copts.split(","))
 
     from ifcb_classifier_tpu.models import input_size_for
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
@@ -212,7 +223,8 @@ def main():
                                   args.batch, f, nb, t, peaks))
         if args.infer:
             f, nb, t, did_fold = measure_infer(m, args.batch, size,
-                                               args.iters, args.trials)
+                                               args.iters, args.trials,
+                                               copts=copts)
             tag = " (folded)" if did_fold else ""
             results.append(report(f"{m}@{size} b{args.batch} bf16 "
                                   f"infer{tag}", args.batch, f, nb, t,

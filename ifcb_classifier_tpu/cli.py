@@ -55,7 +55,8 @@ def argparse_nn(parser=None):
                              "CPU. int8 (RUN only): post-training-quantized "
                              "convolutions on the MXU int8 path — fastest "
                              "inference tier; activation scales calibrate "
-                             "on the first batch; scores shift at the ~1e-2 "
+                             "on the first batch (see RUN --calib-batches); "
+                             "scores shift at the ~1e-2 "
                              "level vs bf16 (inception_v3/resnet*/vgg*_bn)")
     common.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in backprop "
@@ -264,6 +265,13 @@ def argparse_nn_run(run):
                           "classified bins (or the whole pass in img mode) "
                           "into OUTDIR/profile")
     run.add_argument("--gobig", action="store_true", help=argparse.SUPPRESS)
+    run.add_argument("--calib-batches", metavar="N", default=1, type=int,
+                     help="With --precision int8: calibrate activation "
+                          "scales over the first N batches instead of just "
+                          "the first (absmax accumulates; those N batches "
+                          "are served at full precision, then the engine "
+                          "swaps to int8). Use when the first bin may not "
+                          "be representative. Default 1.")
     # the reference reserved -p/--plot but left it TODO (neuston_net.py:413)
     run.add_argument("-p", "--plot", dest="plot_files",
                      metavar=("FNAME", "PARAM"), nargs="+", action="append",
@@ -295,7 +303,8 @@ def main_cli(argv=None):
             args.MODEL, batch_size=args.batch_size,
             dtype=resolve_dtype(None if precision == "int8" else precision),
             mesh=getattr(args, "mesh", None),
-            quant=precision == "int8")
+            quant=precision == "int8",
+            calib_batches=getattr(args, "calib_batches", None) or 1)
     proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
     main(args, engine=engine)
 

@@ -43,7 +43,7 @@ class InferenceEngine:
     """Persistent jit predict pipeline: canvas batch → probs."""
 
     def __init__(self, ckpt_path, batch_size=108, dtype=None, fold=None,
-                 mesh=None, quant=False):
+                 mesh=None, quant=False, calib_batches=1):
         params, batch_stats, hparams = load_checkpoint(ckpt_path)
         self.hparams = hparams
         self.classes = hparams["classes"]
@@ -69,13 +69,20 @@ class InferenceEngine:
             params, batch_stats = fold_params(hparams["MODEL"], params,
                                               batch_stats)
 
-        # --precision int8 (models/quant.py): calibrated lazily on the FIRST
-        # batch this engine sees (activation scales need real data), then
-        # every score — including that first batch's — comes from the int8
-        # graph. Requires the folded graph (quantization of the BN-merged
-        # conv weights).
+        # --precision int8 (models/quant.py): calibrated lazily on the first
+        # `calib_batches` batches this engine sees (activation scales need
+        # real data). With the default calib_batches=1 every score —
+        # including that first batch's — comes from the int8 graph; with
+        # N>1 the absmax accumulates over the first N batches, which are
+        # served by the full-precision folded graph (strictly more accurate)
+        # before the engine swaps to int8. Requires the folded graph
+        # (quantization of the BN-merged conv weights).
         self.quant = bool(quant)
+        self.calib_batches = max(1, int(calib_batches))
         self._quant_ready = False
+        self._calib_fn = None
+        self._calib_absmax = None
+        self._calib_seen = 0
         if self.quant:
             from ..models.quant import supports_quant
             if not supports_quant(hparams["MODEL"]):
@@ -171,26 +178,42 @@ class InferenceEngine:
         return params, batch_stats, run
 
     def _dispatch(self, canvas, sizes):
-        """All inference routes through here: on the first batch of an int8
-        engine, calibrate activation scales from THIS data and swap in the
-        quantized program (the batch is then re-dispatched quantized, so
-        every score the engine ever returns comes from one graph)."""
+        """All inference routes through here: on the first `calib_batches`
+        batches of an int8 engine, calibrate activation scales from THIS
+        data; once enough batches are seen, swap in the quantized program
+        (with the default calib_batches=1 the swap happens before the first
+        dispatch, so every score the engine ever returns comes from one
+        graph; a run shorter than calib_batches simply stays at full
+        precision)."""
         if self.quant and not self._quant_ready:
             self._calibrate(canvas, sizes)
         return self._run_batch(self.params, self.batch_stats, canvas, sizes)
 
     def _calibrate(self, canvas, sizes):
+        """Accumulate per-tensor activation absmax over this batch; on the
+        calib_batches-th batch, quantize and swap in the int8 program."""
         from ..models.quant import (make_calib_fn, make_quant_predict,
                                     quantize_params)
-        calib_fn, geoms = make_calib_fn(self.model)
+        if self._calib_fn is None:
+            calib_fn, self._calib_geoms = make_calib_fn(self.model)
 
-        def calib_batch(params, batch_stats, canvas, sizes):
-            return calib_fn(params, batch_stats,
-                            self._preprocess(canvas, sizes))
+            def calib_batch(params, batch_stats, canvas, sizes):
+                return calib_fn(params, batch_stats,
+                                self._preprocess(canvas, sizes))
 
-        absmax = jax.jit(calib_batch)(self.params, self.batch_stats,
-                                      canvas, sizes)
+            # jit once and keep it: N>1 must not recompile the capture pass
+            self._calib_fn = jax.jit(calib_batch)
+        absmax = self._calib_fn(self.params, self.batch_stats, canvas, sizes)
         absmax = {k: float(v) for k, v in jax.device_get(absmax).items()}
+        if self._calib_absmax is None:
+            self._calib_absmax = absmax
+        else:
+            self._calib_absmax = {k: max(v, self._calib_absmax[k])
+                                  for k, v in absmax.items()}
+        self._calib_seen += 1
+        if self._calib_seen < self.calib_batches:
+            return  # keep serving full precision while calibrating
+        absmax, geoms = self._calib_absmax, self._calib_geoms
         pruned, qconv = quantize_params(jax.device_get(self.params),
                                         absmax, geoms)
         pruned["__quant__"] = qconv
@@ -535,7 +558,8 @@ def do_run(args, engine=None):
             args.MODEL, batch_size=args.batch_size,
             dtype=resolve_dtype(None if precision == "int8" else precision),
             mesh=getattr(args, "mesh", None),
-            quant=precision == "int8")
+            quant=precision == "int8",
+            calib_batches=getattr(args, "calib_batches", None) or 1)
     import random as _random
     _random.seed(engine.seed)
 

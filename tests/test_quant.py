@@ -113,6 +113,67 @@ class TestEngineQuant:
         assert t1 == t2
         assert np.abs(p1 - p2).max() < 2e-2
 
+    def test_calib_batches_accumulates_then_swaps(self, ckpt):
+        """--calib-batches N: the first N dispatches calibrate AND are
+        served full-precision; the engine swaps to int8 only after N
+        batches, with absmax = max over all calibration batches."""
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rng = np.random.RandomState(1)
+        # batch_size=4, 12 images -> 3 dispatches through _dispatch
+        imgs = [rng.randint(0, 255, (16 + i % 5, 18 - i % 4), np.uint8)
+                for i in range(12)]
+        eng = InferenceEngine(ckpt, batch_size=4, quant=True,
+                              calib_batches=2)
+        ref = InferenceEngine(ckpt, batch_size=4)
+        p = eng.predict_images(imgs)
+        assert eng._quant_ready and eng._calib_seen == 2
+        p_ref = ref.predict_images(imgs)
+        # batches 1-2 (rows 0-7) went through the SAME fp folded graph
+        np.testing.assert_array_equal(p[:8], p_ref[:8])
+        # batch 3 (rows 8-11) is int8: close, argmax agrees
+        assert np.abs(p[8:] - p_ref[8:]).max() < 2e-2
+        assert (p[8:].argmax(-1) == p_ref[8:].argmax(-1)).all()
+        # a later identical call is fully int8 and deterministic
+        p2 = eng.predict_images(imgs)
+        p3 = eng.predict_images(imgs)
+        np.testing.assert_array_equal(p2, p3)
+        assert np.abs(p2 - p_ref).max() < 2e-2
+
+    def test_calib_batches_absmax_is_max_over_batches(self, ckpt):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rng = np.random.RandomState(2)
+        dim = [rng.randint(0, 40, (20, 20), np.uint8) for _ in range(4)]
+        bright = [rng.randint(200, 255, (20, 20), np.uint8) for _ in range(4)]
+        # dim batch first, bright second: accumulated absmax must cover the
+        # bright batch (equal to calibrating on bright alone at the input)
+        eng = InferenceEngine(ckpt, batch_size=4, quant=True,
+                              calib_batches=2)
+        eng.predict_images(dim + bright)
+        only_bright = InferenceEngine(ckpt, batch_size=4, quant=True)
+        only_bright.predict_images(bright)
+        for k, v in only_bright._calib_absmax.items():
+            assert eng._calib_absmax[k] >= v - 1e-6
+
+    def test_short_run_stays_full_precision(self, ckpt):
+        """Fewer batches than --calib-batches: never swaps, serves the fp
+        folded graph throughout (documented behavior, not an error)."""
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rng = np.random.RandomState(3)
+        imgs = [rng.randint(0, 255, (20, 20), np.uint8) for _ in range(4)]
+        eng = InferenceEngine(ckpt, batch_size=4, quant=True,
+                              calib_batches=5)
+        ref = InferenceEngine(ckpt, batch_size=4)
+        p = eng.predict_images(imgs)
+        assert not eng._quant_ready
+        np.testing.assert_array_equal(p, ref.predict_images(imgs))
+
+    def test_cli_surface_has_calib_batches(self):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        args = argparse_nn().parse_args(
+            ["--precision", "int8", "RUN", "src", "model", "rid",
+             "--calib-batches", "3"])
+        assert args.calib_batches == 3
+
     def test_unsupported_family_fails_loudly(self, tmp_path):
         from ifcb_classifier_tpu.models import get_namebrand_model
         from ifcb_classifier_tpu.infer.runner import InferenceEngine

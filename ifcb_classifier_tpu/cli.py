@@ -272,6 +272,16 @@ def argparse_nn_run(run):
                           "are served at full precision, then the engine "
                           "swaps to int8). Use when the first bin may not "
                           "be representative. Default 1.")
+    run.add_argument("--no-batch-ladder", dest="batch_ladder",
+                     action="store_false", default=None,
+                     help="Disable the batch-bucket ladder: every dispatch "
+                          "pads to the full --batch instead of the smallest "
+                          "compiled bucket covering it. The ladder is the "
+                          "default because small bins otherwise waste most "
+                          "of the batch on pad rows; disable to minimize "
+                          "compile count (one shape per canvas size) or for "
+                          "A/B timing. Env equivalent: "
+                          "IFCBNN_NO_BATCH_LADDER=1.")
     # the reference reserved -p/--plot but left it TODO (neuston_net.py:413)
     run.add_argument("-p", "--plot", dest="plot_files",
                      metavar=("FNAME", "PARAM"), nargs="+", action="append",

@@ -39,11 +39,29 @@ from ..train.checkpoint import load_checkpoint
 from ..train.state import make_predict_step
 
 
+def _batch_buckets(batch_size, align=1, enabled=True):
+    """Halving ladder of dispatch batch sizes, floor 16, each rounded up to
+    a multiple of `align` (the engine's data-mesh axis — sharded dispatch
+    needs the batch divisible by it). batch_size=256 → (16,32,64,128,256);
+    batch_size≤16 or enabled=False degenerate to the single full batch."""
+    if not enabled or batch_size <= 16:
+        return (batch_size,)
+    buckets = {batch_size}
+    b = batch_size
+    while True:
+        b = -(-b // 2)
+        b = -(-b // align) * align
+        if b < 16 or b in buckets:
+            break
+        buckets.add(b)
+    return tuple(sorted(buckets))
+
+
 class InferenceEngine:
     """Persistent jit predict pipeline: canvas batch → probs."""
 
     def __init__(self, ckpt_path, batch_size=108, dtype=None, fold=None,
-                 mesh=None, quant=False, calib_batches=1):
+                 mesh=None, quant=False, calib_batches=1, batch_ladder=None):
         params, batch_stats, hparams = load_checkpoint(ckpt_path)
         self.hparams = hparams
         self.classes = hparams["classes"]
@@ -134,8 +152,28 @@ class InferenceEngine:
         self._mesh_shape = (n_data, n_model)
         if len(local) > 1 and self.batch_size % n_data:
             self.batch_size = -(-self.batch_size // n_data) * n_data
+
+        # batch-bucket ladder: each dispatch pads its chunk to the SMALLEST
+        # bucket that covers it instead of always the full batch. The
+        # reference pays a full Trainer batch per bin regardless of bin size
+        # (neuston_net.py:266); without this, a 40-ROI bin at batch 256
+        # wastes 84% of its MXU slots on pad rows unless the user opts into
+        # --gobig. Buckets compile lazily (only shapes actually seen pay a
+        # compile); IFCBNN_NO_BATCH_LADDER=1 or batch_ladder=False restores
+        # single-shape dispatch for A/B debugging.
+        if batch_ladder is None:
+            batch_ladder = os.environ.get("IFCBNN_NO_BATCH_LADDER") != "1"
+        self.batch_buckets = _batch_buckets(
+            self.batch_size, n_data if len(local) > 1 else 1, batch_ladder)
         self.params, self.batch_stats, self._run_batch = \
             self._place_and_jit(params, batch_stats, make_predict_step(model))
+
+    def bucket_for(self, n):
+        """Smallest dispatch batch covering n rows (pad-waste control)."""
+        for b in self.batch_buckets:
+            if b >= n:
+                return b
+        return self.batch_size
 
     def _preprocess(self, canvas, sizes):
         from ..ops.preprocess import preprocess_batch
@@ -233,7 +271,8 @@ class InferenceEngine:
         for start in range(0, len(images), B):
             chunk = images[start:start + B]
             canvas, sizes, n = pack_canvas_batch(
-                chunk, batch_size=B, rgb=chunk[0].ndim == 3)
+                chunk, batch_size=self.bucket_for(len(chunk)),
+                rgb=chunk[0].ndim == 3)
             pending.append(self._dispatch(canvas, sizes))
             ns.append(n)
         fetched = jax.device_get(pending)
@@ -287,7 +326,7 @@ class InferenceEngine:
                 sel = idx[c0:c0 + B]
                 canvas, sizes = native.pack_rois_native(
                     roi_buf, starts[sel], heights[sel], widths[sel],
-                    batch_size=B, canvas_size=int(S))
+                    batch_size=self.bucket_for(sel.size), canvas_size=int(S))
                 # packer marks out-of-bounds ROIs (truncated .roi) as (0,0):
                 # fail the whole bin so it lands in the error report instead
                 # of silently classifying garbage pixels
@@ -320,11 +359,17 @@ class InferenceEngine:
 
     def predict_loader(self, loader):
         """Stream a HostLoader (image paths) through the engine; returns
-        (probs [N,C], paths in traversal order). Async dispatch, one fetch."""
+        (probs [N,C], paths in traversal order). Async dispatch, one fetch.
+
+        The final short batch rides the batch-bucket ladder too: HostLoader
+        pads to the full batch by cycling real images (a TRAIN requirement —
+        BatchNorm), but pad rows are always the TAIL rows, so slicing the
+        canvas down to the smallest covering bucket drops only pads."""
         pending, ns, paths = [], [], []
         for b in prefetch(iter(loader)):
-            pending.append(self._dispatch(b["canvas"], b["sizes"]))
             n = int(b["mask"].sum())
+            bb = self.bucket_for(n)
+            pending.append(self._dispatch(b["canvas"][:bb], b["sizes"][:bb]))
             ns.append(n)
             paths.extend(loader.items[i] for i in b["indices"][:n])
         fetched = jax.device_get(pending)
@@ -452,7 +497,7 @@ class _GobigAggregator:
         — pad rows are sliced off before routing, BN stats never update)."""
         from .. import native
 
-        B = self.engine.batch_size
+        B = self.engine.bucket_for(len(items))
         frags, meta = [], []
         i = 0
         while i < len(items):
@@ -477,7 +522,7 @@ class _GobigAggregator:
             # invariant breach — fail loudly, never classify zeroed rows
             raise RuntimeError("gobig: packer flagged ROI(s) that passed "
                                "validation — refusing to classify")
-        if len(items) < B:  # final-flush padding only
+        if len(items) < B:  # final flush pads to the smallest bucket only
             canvas = np.concatenate(
                 [canvas, np.zeros((B - len(items), S, S), np.uint8)], axis=0)
             sizes = np.concatenate(
@@ -559,7 +604,8 @@ def do_run(args, engine=None):
             dtype=resolve_dtype(None if precision == "int8" else precision),
             mesh=getattr(args, "mesh", None),
             quant=precision == "int8",
-            calib_batches=getattr(args, "calib_batches", None) or 1)
+            calib_batches=getattr(args, "calib_batches", None) or 1,
+            batch_ladder=getattr(args, "batch_ladder", None))
     import random as _random
     _random.seed(engine.seed)
 

@@ -675,10 +675,11 @@ class TestOrchestrationReviewFixes:
 
         class Probe:
             def __init__(self, path, batch_size=108, dtype=None, mesh=None,
-                         quant=False):
+                         quant=False, **kw):
                 seen["dtype"] = dtype
                 seen["mesh"] = mesh
                 seen["quant"] = quant
+                seen["kw"] = kw
                 raise RuntimeError("probe stop")
 
         monkeypatch.setattr(runner, "InferenceEngine", Probe)

@@ -137,6 +137,36 @@ def test_predict_loader_parity(ckpt, tmp_path):
     np.testing.assert_allclose(p1, p2, atol=1e-5)
 
 
+def test_int8_ladder_interaction(tmp_path):
+    """int8 engine × ladder: calibration may run on a SMALL bucket (a tiny
+    first bin), and the quantized program must then serve every other
+    bucket shape. Scores stay close to the full-precision engine."""
+    import jax.numpy as jnp
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+    from ifcb_classifier_tpu.infer.runner import InferenceEngine
+    model = get_namebrand_model("resnet18", 2, pretrained=False)
+    variables = model.init({"params": jax.random.PRNGKey(3)},
+                           np.zeros((1, 32, 32, 3), np.float32), train=False)
+    p = str(tmp_path / "m.ptl")
+    save_checkpoint(p, jax.device_get(variables["params"]),
+                    jax.device_get(variables.get("batch_stats", {})),
+                    dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                         model_id="m", seed=1, img_norm=None))
+    eng = InferenceEngine(p, batch_size=64, quant=True)
+    assert eng.batch_buckets == (16, 32, 64)
+    small = [make_roi(14, 18, seed=i) for i in range(3)]    # bucket 16
+    big = [make_roi(14, 18, seed=50 + i) for i in range(40)]  # bucket 64
+    eng.predict_images(small)                # calibrates on the 16-bucket
+    assert eng._quant_ready
+    p_q = eng.predict_images(big)
+    ref = InferenceEngine(p, batch_size=64, dtype=jnp.float32, fold=False)
+    p_ref = ref.predict_images(big)
+    assert p_q.shape == p_ref.shape == (40, 2)
+    np.testing.assert_allclose(p_q.sum(axis=1), 1.0, atol=1e-4)
+    assert np.abs(p_q - p_ref).max() < 5e-2
+
+
 def test_env_escape_hatch(ckpt, monkeypatch):
     import jax.numpy as jnp
     from ifcb_classifier_tpu.infer.runner import InferenceEngine

@@ -307,14 +307,7 @@ def main_cli(argv=None):
         # build the engine once: it deserializes the checkpoint (weights +
         # hparams) and supplies the {MODEL_ID} for --outdir templating
         from .infer.runner import InferenceEngine
-        from .utils.config import resolve_dtype
-        precision = getattr(args, "precision", None)
-        engine = InferenceEngine(
-            args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(None if precision == "int8" else precision),
-            mesh=getattr(args, "mesh", None),
-            quant=precision == "int8",
-            calib_batches=getattr(args, "calib_batches", None) or 1)
+        engine = InferenceEngine.from_args(args)
     proc_outdir(args, model_id_for_run=engine.model_id if engine else None)
     main(args, engine=engine)
 

@@ -168,6 +168,28 @@ class InferenceEngine:
         self.params, self.batch_stats, self._run_batch = \
             self._place_and_jit(params, batch_stats, make_predict_step(model))
 
+    @classmethod
+    def from_args(cls, args):
+        """Build the engine from a RUN argparse namespace — the ONE mapping
+        from CLI flags to constructor kwargs, shared by cli.main_cli and
+        do_run (they drifted when each carried its own copy: a knob added to
+        one site was silently dropped by the other).
+
+        --precision is honored here: auto = bf16 on TPU (measured score
+        deltas vs fp32 quantified in QUIRKS.md / test_bf16_infer.py), fp32 =
+        reference-exact inference at ~1/3 TPU throughput, int8 = the
+        quantized speed tier (models/quant.py; elementwise stays at the
+        backend default dtype)."""
+        from ..utils.config import resolve_dtype
+        precision = getattr(args, "precision", None)
+        return cls(
+            args.MODEL, batch_size=args.batch_size,
+            dtype=resolve_dtype(None if precision == "int8" else precision),
+            mesh=getattr(args, "mesh", None),
+            quant=precision == "int8",
+            calib_batches=getattr(args, "calib_batches", None) or 1,
+            batch_ladder=getattr(args, "batch_ladder", None))
+
     def bucket_for(self, n):
         """Smallest dispatch batch covering n rows (pad-waste control)."""
         for b in self.batch_buckets:
@@ -224,6 +246,21 @@ class InferenceEngine:
         graph; a run shorter than calib_batches simply stays at full
         precision)."""
         if self.quant and not self._quant_ready:
+            # pad calibration-phase dispatches to the FULL batch shape: with
+            # the batch-bucket ladder on, calib batches could otherwise
+            # arrive at several bucket shapes, each costing a throwaway
+            # compile of BOTH the capture pass and the interim
+            # full-precision graph (abandoned at the int8 swap). One fixed
+            # shape keeps the single-compile guarantee; extra rows are
+            # pad rows (benign for absmax — buckets carry pads anyway) and
+            # callers slice probs by their own row counts.
+            if canvas.shape[0] < self.batch_size:
+                pad = self.batch_size - canvas.shape[0]
+                canvas = np.concatenate(
+                    [canvas, np.zeros((pad,) + canvas.shape[1:],
+                                      canvas.dtype)], axis=0)
+                sizes = np.concatenate(
+                    [sizes, np.ones((pad, 2), sizes.dtype)], axis=0)
             self._calibrate(canvas, sizes)
         return self._run_batch(self.params, self.batch_stats, canvas, sizes)
 
@@ -522,7 +559,16 @@ class _GobigAggregator:
             # invariant breach — fail loudly, never classify zeroed rows
             raise RuntimeError("gobig: packer flagged ROI(s) that passed "
                                "validation — refusing to classify")
-        if len(items) < B:  # final flush pads to the smallest bucket only
+        # final flush pads to the smallest covering bucket. Tradeoff: on a
+        # COLD compile cache this can add one compile per (bucket, canvas)
+        # shape at end of run vs reusing the already-compiled full batch —
+        # minutes over the dev tunnel, amortized away by the persistent
+        # compile cache and by watch-mode services (which flush every pass
+        # and reuse the bucket shapes for the process lifetime). The win is
+        # the small-bin regime where flush dispatches dominate (measured
+        # 2.74x, tools/bench_perbin.py); IFCBNN_NO_BATCH_LADDER=1 restores
+        # full-batch-only shapes.
+        if len(items) < B:
             canvas = np.concatenate(
                 [canvas, np.zeros((B - len(items), S, S), np.uint8)], axis=0)
             sizes = np.concatenate(
@@ -592,20 +638,7 @@ def parse_filter(filter_arg):
 
 def do_run(args, engine=None):
     if engine is None:
-        # --precision is honored on RUN too: auto = bf16 on TPU (measured
-        # score deltas vs fp32 quantified in QUIRKS.md / test_bf16_infer.py),
-        # fp32 = reference-exact inference at ~1/3 TPU throughput, int8 =
-        # the quantized speed tier (models/quant.py; elementwise stays at
-        # the backend default dtype)
-        from ..utils.config import resolve_dtype
-        precision = getattr(args, "precision", None)
-        engine = InferenceEngine(
-            args.MODEL, batch_size=args.batch_size,
-            dtype=resolve_dtype(None if precision == "int8" else precision),
-            mesh=getattr(args, "mesh", None),
-            quant=precision == "int8",
-            calib_batches=getattr(args, "calib_batches", None) or 1,
-            batch_ladder=getattr(args, "batch_ladder", None))
+        engine = InferenceEngine.from_args(args)
     import random as _random
     _random.seed(engine.seed)
 

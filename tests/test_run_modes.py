@@ -673,7 +673,10 @@ class TestOrchestrationReviewFixes:
         from ifcb_classifier_tpu.infer import runner
         seen = {}
 
-        class Probe:
+        # subclass so the REAL from_args mapping runs (cls = Probe): the
+        # test pins the one CLI-flag -> constructor-kwarg translation both
+        # entry points share
+        class Probe(runner.InferenceEngine):
             def __init__(self, path, batch_size=108, dtype=None, mesh=None,
                          quant=False, **kw):
                 seen["dtype"] = dtype
@@ -687,11 +690,17 @@ class TestOrchestrationReviewFixes:
             cli.main_cli(["--precision", "bf16", "RUN", "src", ckpt, "rid"])
         assert seen["dtype"] == jnp.bfloat16
         assert seen["mesh"] == "auto"  # --mesh default reaches the engine
+        # ladder defaults to None (engine decides: on unless env opts out)
+        assert seen["kw"]["batch_ladder"] is None
         with pytest.raises(RuntimeError, match="probe stop"):
             cli.main_cli(["--precision", "fp32", "--mesh", "8x1",
-                          "RUN", "src", ckpt, "rid"])
+                          "RUN", "src", ckpt, "rid", "--no-batch-ladder"])
         assert seen["dtype"] == jnp.float32
         assert seen["mesh"] == "8x1"
+        # --no-batch-ladder must reach the engine from the REAL CLI path
+        # (it was silently dropped when main_cli carried its own copy of
+        # the constructor call)
+        assert seen["kw"]["batch_ladder"] is False
         # int8 maps to quant=True with the auto compute dtype for the
         # surrounding elementwise graph
         with pytest.raises(RuntimeError, match="probe stop"):

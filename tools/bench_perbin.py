@@ -96,7 +96,11 @@ def main():
 
     from ifcb_classifier_tpu.infer.runner import InferenceEngine
     out = {"bins": len(bins), "batch": args.batch, "model": args.model}
-    for tag, kw in (("bucketed", {}), ("full_batch", {"batch_ladder": False})):
+    # explicit True/False (not default None): an inherited
+    # IFCBNN_NO_BATCH_LADDER=1 must not silently turn this into
+    # full-batch-vs-full-batch with a bogus ~1.0x "speedup"
+    for tag, kw in (("bucketed", {"batch_ladder": True}),
+                    ("full_batch", {"batch_ladder": False})):
         engine = InferenceEngine(ckpt, batch_size=args.batch, **kw)
         run_pass(engine, bins)  # warm: compile every bucket/ladder shape
         best_n, best_dt = 0, float("inf")

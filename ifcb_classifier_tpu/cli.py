@@ -217,7 +217,10 @@ def argparse_nn_train(train):
 def argparse_nn_run(run):
     run.add_argument("SRC", help="Resource(s) to be classified. Accepts a bin, "
                      "an image, a text-file, or a directory (recursive).")
-    run.add_argument("MODEL", help="Path to a previously-trained model file")
+    run.add_argument("MODEL",
+                     help="Path to a previously-trained model file (a "
+                          "native checkpoint, or a reference-trained "
+                          "Lightning .ptl — ported on load)")
     run.add_argument("RUN_ID", help="Run ID. Used by --outdir")
 
     run.add_argument("--type", dest="src_type", default="bin",

@@ -52,6 +52,14 @@ def supports_quant(model_name: str) -> bool:
     return model_name in _QUANT_FAMILIES and supports_fold(model_name)
 
 
+# Measured A/B (tools/roofline.py --precision int8, b256): skipping the
+# lane-starved stem convs (H>64, C_in<128 — where the int8 MXU path is
+# ~1.0x bf16) made the step WORSE: 27.97 vs 27.53 ms, 14.47 vs 13.91
+# GB/step. The stem's quantize passes cost less than the bf16 activations
+# they avoid (s8 halves the biggest tensors in the net), so every
+# non-grouped conv quantizes, stem included.
+
+
 def _tree_get(tree, path):
     node = tree
     for k in path:

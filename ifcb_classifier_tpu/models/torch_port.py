@@ -25,15 +25,54 @@ from __future__ import annotations
 import numpy as np
 
 
+def tolerant_torch_load(path: str):
+    """torch.load that survives Lightning checkpoints in an environment
+    without pytorch_lightning: its AttributeDict (a plain dict subclass)
+    pickled into hyper_parameters is mapped back to dict at unpickle time.
+    Everything else unpickles normally (argparse.Namespace is stdlib)."""
+    import pickle
+    import types
+
+    import torch
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                if module.startswith(("pytorch_lightning", "lightning")):
+                    return dict
+                raise
+
+    shim = types.ModuleType("_ptl_pickle_shim")
+    shim.Unpickler = _Unpickler
+    shim.load = lambda f, **kw: _Unpickler(f, **kw).load()
+    try:
+        return torch.load(path, map_location="cpu", pickle_module=shim,
+                          weights_only=False)
+    except TypeError:  # torch<1.13: no weights_only kwarg
+        return torch.load(path, map_location="cpu", pickle_module=shim)
+
+
 def _load_state_dict(path: str) -> dict:
     if path.endswith(".npz"):
         return dict(np.load(path))
     import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning .ptl: hyper_parameters carry pickled Namespace /
+        # AttributeDict objects the weights_only unpickler rejects
+        sd = tolerant_torch_load(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if "state_dict" in sd and isinstance(sd["state_dict"], dict):
         sd = sd["state_dict"]
+    if any(k.startswith("model.") for k in sd):
+        # NeustonModel wraps the net at self.model (neuston_models.py:56) —
+        # strip to torchvision-layout keys
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
 

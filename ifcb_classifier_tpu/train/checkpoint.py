@@ -49,13 +49,89 @@ def save_checkpoint(path: str, params, batch_stats, hparams: dict):
 
 
 def load_checkpoint(path: str):
-    """Returns (params, batch_stats, hparams_dict)."""
+    """Returns (params, batch_stats, hparams_dict).
+
+    Accepts BOTH artifact formats: our msgpack checkpoints and the
+    reference's PyTorch-Lightning `.ptl` files (torch zip checkpoints with
+    `state_dict` + `hyper_parameters`, neuston_models.py:54,
+    neuston_net.py:173-174) — so a site migrating from the reference can
+    point RUN/EXPORT/sbatch at its existing trained models with no
+    conversion step. Lightning weights are ported tensor-by-tensor
+    (models/torch_port.py) including the trained classifier head."""
     with open(path, "rb") as f:
-        payload = flax.serialization.msgpack_restore(f.read())
-    if payload.get("format") != FORMAT_TAG:
-        raise ValueError(f"{path}: not an ifcbnn checkpoint")
-    hparams = json.loads(payload["hparams_json"])
-    return payload["params"], payload["batch_stats"], hparams
+        blob = f.read()
+    try:
+        payload = flax.serialization.msgpack_restore(blob)
+        native_err = None if payload.get("format") == FORMAT_TAG else \
+            ValueError(f"{path}: not an ifcbnn checkpoint")
+    except Exception as e:  # not msgpack at all (e.g. a torch zip)
+        payload, native_err = None, e
+    if native_err is None:
+        hparams = json.loads(payload["hparams_json"])
+        return payload["params"], payload["batch_stats"], hparams
+    try:
+        return _load_lightning_checkpoint(path)
+    except ValueError:
+        raise
+    except Exception:
+        raise native_err
+
+
+def _load_lightning_checkpoint(path: str):
+    """Port a reference `.ptl` Lightning checkpoint to our trees.
+
+    The reference persists the full TRAIN args namespace as hyper_parameters
+    (neuston_models.py:50-54), including the keys RUN recovers later:
+    MODEL, classes, resize, img_norm, seed, model_id, pretrained
+    (neuston_net.py:62,70,173-174; neuston_data.py:344). The net itself
+    lives at `self.model`, so state_dict keys carry a 'model.' prefix."""
+    try:
+        from ..models.torch_port import tolerant_torch_load
+        ckpt = tolerant_torch_load(path)
+    except ImportError as e:
+        raise ValueError(
+            f"{path}: looks like a torch/Lightning checkpoint but torch "
+            "is not importable in this environment") from e
+    if not (isinstance(ckpt, dict) and "state_dict" in ckpt):
+        raise ValueError(f"{path}: torch file without a state_dict — "
+                         "not a Lightning checkpoint")
+
+    hp = ckpt.get("hyper_parameters") or ckpt.get("hparams") or {}
+    if not isinstance(hp, dict):
+        hp = vars(hp)  # argparse.Namespace
+    if "MODEL" not in hp or "classes" not in hp:
+        raise ValueError(
+            f"{path}: Lightning checkpoint lacks MODEL/classes hparams "
+            "(is this a NeustonModel .ptl?)")
+    from ..models import get_namebrand_model, input_size_for
+    model_name = str(hp["MODEL"])
+    classes = [str(c) for c in hp["classes"]]
+    resize = int(hp.get("resize") or input_size_for(model_name))
+    sd = {k[len("model."):]: v.detach().cpu().numpy()
+          for k, v in ckpt["state_dict"].items() if k.startswith("model.")}
+
+    # shape/dtype template without touching any device (works under the
+    # pinned-TPU platform): abstract-init, then materialize host zeros
+    import jax
+    import jax.numpy as jnp
+    model = get_namebrand_model(model_name, len(classes),
+                                pretrained=bool(hp.get("pretrained", True)))
+    variables = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, resize, resize, 3), jnp.float32), train=False))
+    template = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), variables)
+    from ..models.torch_port import port_state_dict
+    params, stats = port_state_dict(
+        model_name, sd, template["params"],
+        template.get("batch_stats", {}), skip_head=False)
+
+    hparams = dict(_jsonable(hp))
+    hparams.update(MODEL=model_name, classes=classes, resize=resize,
+                   img_norm=hp.get("img_norm"),
+                   seed=hp.get("seed"), model_id=hp.get("model_id"),
+                   pretrained=bool(hp.get("pretrained", True)))
+    return params, stats, hparams
 
 
 def save_train_state(path: str, state, extra: dict):

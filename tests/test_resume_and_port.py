@@ -341,3 +341,112 @@ class TestExportFolding:
         direct = np.asarray(predict(params, stats, x))
         order = np.argsort(paths)
         np.testing.assert_allclose(scores[order], direct, atol=1e-3)
+
+
+class TestLightningCheckpoint:
+    """Direct RUN/EXPORT consumption of the reference's .ptl artifacts
+    (train/checkpoint.py:_load_lightning_checkpoint). The fabricated ckpt
+    mirrors what PTL 1.3.8 writes for a NeustonModel: state_dict with
+    'model.'-prefixed torch tensors + the full args namespace under
+    hyper_parameters (neuston_models.py:50-56)."""
+
+    def _fake_ptl(self, path, n_classes=3, seed=1, attr_dict=False):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_port import export_state_dict
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("resnet18", n_classes, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(seed), 32)
+        sd = {"model." + k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_state_dict(
+                  "resnet18", state.params, state.batch_stats).items()}
+        hp = {"MODEL": "resnet18", "classes": list("abc")[:n_classes],
+              "resize": 32, "img_norm": None, "seed": 11,
+              "model_id": "ptl_twin", "pretrained": False,
+              "TRAIN_ID": "ptl_twin", "cmd": "TRAIN"}
+        if attr_dict:
+            # simulate Lightning's AttributeDict (a dict subclass from a
+            # module NOT installed here): register a throwaway module for
+            # pickling, drop it before load so the tolerant unpickler has
+            # to map it back to dict
+            import sys
+            import types
+            mod = types.ModuleType("pytorch_lightning")
+            sub = types.ModuleType("pytorch_lightning.utilities")
+            leaf = types.ModuleType("pytorch_lightning.utilities.parsing")
+
+            class AttributeDict(dict):
+                pass
+
+            AttributeDict.__module__ = "pytorch_lightning.utilities.parsing"
+            AttributeDict.__qualname__ = "AttributeDict"
+            leaf.AttributeDict = AttributeDict
+            sys.modules.update({"pytorch_lightning": mod,
+                                "pytorch_lightning.utilities": sub,
+                                "pytorch_lightning.utilities.parsing": leaf})
+            try:
+                torch.save({"state_dict": sd,
+                            "hyper_parameters": AttributeDict(hp)}, path)
+            finally:
+                for k in ("pytorch_lightning.utilities.parsing",
+                          "pytorch_lightning.utilities",
+                          "pytorch_lightning"):
+                    sys.modules.pop(k, None)
+        else:
+            torch.save({"state_dict": sd, "hyper_parameters": hp}, path)
+        return state
+
+    @pytest.mark.parametrize("attr_dict", [False, True])
+    def test_ptl_load_roundtrip(self, tmp_path, attr_dict):
+        import jax
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+
+        path = str(tmp_path / "model.ptl")
+        state = self._fake_ptl(path, attr_dict=attr_dict)
+        params, stats, hparams = load_checkpoint(path)
+        assert hparams["MODEL"] == "resnet18"
+        assert hparams["classes"] == ["a", "b", "c"]
+        assert hparams["resize"] == 32
+        assert hparams["model_id"] == "ptl_twin"
+        assert hparams["seed"] == 11
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_ptl_engine_scores_match_native_ckpt(self, tmp_path):
+        """The SAME weights served from a .ptl and from a native checkpoint
+        must produce identical scores through the full engine path."""
+        import jax
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+
+        ptl = str(tmp_path / "model.ptl")
+        self._fake_ptl(ptl)
+        params, stats, hparams = __import__(
+            "ifcb_classifier_tpu.train.checkpoint",
+            fromlist=["load_checkpoint"]).load_checkpoint(ptl)
+        native = str(tmp_path / "model.ckpt")
+        save_checkpoint(native, params, stats, hparams)
+
+        rng = np.random.RandomState(0)
+        imgs = [rng.randint(0, 255, (24, 31), np.uint8) for _ in range(5)]
+        e1 = InferenceEngine(ptl, batch_size=8)
+        e2 = InferenceEngine(native, batch_size=8)
+        s1 = np.asarray(e1.predict_images(imgs))
+        s2 = np.asarray(e2.predict_images(imgs))
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    def test_non_checkpoint_file_raises(self, tmp_path):
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+        bad = str(tmp_path / "junk.ptl")
+        with open(bad, "wb") as f:
+            f.write(b"this is not a checkpoint of any kind")
+        with pytest.raises(ValueError):
+            load_checkpoint(bad)

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _compiled_step(mode, model_name, batch, remat):
+def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -69,7 +69,26 @@ def _compiled_step(mode, model_name, batch, remat):
                                     fold_bn=True)
     params = jax.device_put(params)
     stats = jax.device_put(stats)
-    predict = make_predict_step(model)
+    if precision == "int8":
+        import numpy as np
+
+        from ifcb_classifier_tpu.models.quant import (make_calib_fn,
+                                                      make_quant_predict,
+                                                      quantize_params,
+                                                      supports_quant)
+        assert supports_quant(model_name), model_name
+        calib_x = jnp.asarray(
+            np.random.RandomState(1).rand(batch, size, size, 3), jnp.float32)
+        calib_fn, geoms = make_calib_fn(model)
+        absmax = {p: float(v) for p, v in jax.jit(calib_fn)(
+            params, stats, calib_x).items()}
+        pruned, qconv = quantize_params(jax.device_get(params), absmax,
+                                        geoms)
+        pruned["__quant__"] = qconv
+        params = jax.device_put(pruned)
+        predict = make_quant_predict(model, absmax, geoms)
+    else:
+        predict = make_predict_step(model)
 
     @jax.jit
     def f(params, stats, x, acc):
@@ -150,11 +169,14 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--remat", nargs="?", const="full", default=False,
                     choices=["full", "convs"])
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
+                    help="precision of the infer graph (int8 = quant tier)")
     args = ap.parse_args()
 
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
     enable_compile_cache()
-    run = _compiled_step(args.mode, args.model, args.batch, args.remat)
+    run = _compiled_step(args.mode, args.model, args.batch, args.remat,
+                         precision=args.precision)
     outdir = tempfile.mkdtemp(prefix="ifcbnn_prof_")
     wall = collect(run, args.iters, outdir)
     print(f"{args.mode} {args.model} b{args.batch}: "

@@ -100,7 +100,7 @@ def measure_train(model_name, batch, size, iters, trials, remat=False):
 
 
 def measure_infer(model_name, batch, size, iters, trials, fold=True,
-                  copts=None):
+                  copts=None, precision="bf16"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -114,7 +114,7 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True,
         jnp.zeros((1, size, size, 3), jnp.float32), train=True)
     # BN-free families (alexnet/squeezenet/plain vgg) have no batch_stats
     params, stats = variables["params"], variables.get("batch_stats", {})
-    if fold:
+    if fold or precision == "int8":
         from ifcb_classifier_tpu.models.fold import fold_params, supports_fold
         if supports_fold(model_name):
             params, stats = fold_params(model_name, jax.device_get(params),
@@ -125,7 +125,26 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True,
     # re-pays the full weight transfer over the dev tunnel (~25 MB/s)
     params = jax.device_put(params)
     stats = jax.device_put(stats)
-    predict = make_predict_step(model)
+    if precision == "int8":
+        # mirror InferenceEngine._calibrate_quant: calibrate activation
+        # scales on one batch, quantize the folded weights, swap predict
+        from ifcb_classifier_tpu.models.quant import (make_calib_fn,
+                                                      make_quant_predict,
+                                                      quantize_params,
+                                                      supports_quant)
+        assert supports_quant(model_name), model_name
+        calib_x = jnp.asarray(
+            np.random.RandomState(1).rand(batch, size, size, 3), jnp.float32)
+        calib_fn, geoms = make_calib_fn(model)
+        absmax = {p: float(v) for p, v in jax.jit(calib_fn)(
+            params, stats, calib_x).items()}
+        pruned, qconv = quantize_params(jax.device_get(params), absmax,
+                                        geoms)
+        pruned["__quant__"] = qconv
+        params = jax.device_put(pruned)
+        predict = make_quant_predict(model, absmax, geoms)
+    else:
+        predict = make_predict_step(model)
 
     @jax.jit
     def run(params, stats, x, acc):
@@ -196,6 +215,9 @@ def main():
                          "play); convs = save conv/matmul/reduction "
                          "outputs, recompute elementwise (bandwidth play)")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
+                    help="precision of the INFER graph (int8 = the "
+                         "quantized tier, models/quant.py)")
     ap.add_argument("--copts", default=None,
                     help="comma-separated XLA compiler options k=v for the "
                          "INFER compile (A/B experiments; e.g. "
@@ -224,11 +246,12 @@ def main():
         if args.infer:
             f, nb, t, did_fold = measure_infer(m, args.batch, size,
                                                args.iters, args.trials,
-                                               copts=copts)
+                                               copts=copts,
+                                               precision=args.precision)
             tag = " (folded)" if did_fold else ""
-            results.append(report(f"{m}@{size} b{args.batch} bf16 "
-                                  f"infer{tag}", args.batch, f, nb, t,
-                                  peaks))
+            results.append(report(f"{m}@{size} b{args.batch} "
+                                  f"{args.precision} infer{tag}", args.batch,
+                                  f, nb, t, peaks))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(dict(chip=kind, peak_flops=peaks[0],

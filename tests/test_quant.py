@@ -244,3 +244,74 @@ class TestQuantService:
         runner.do_run(args)
         assert sorted(os.listdir(out)) == ["D20240401T000000_IFCB900.json",
                                            "D20240402T000000_IFCB900.json"]
+
+
+class TestResidentGraph:
+    """int8-RESIDENT flagship graph (models/quant_graph.py): activations
+    stay s8 between convs. Same quantization points as the interceptor
+    graph, so the two int8 variants must agree with each other and with
+    fp32 at the standard PTQ gate."""
+
+    def _all(self, size=75, n=5, batch=4):
+        import os
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models import quant as Q
+        from ifcb_classifier_tpu.models.fold import fold_params
+        from ifcb_classifier_tpu.train.state import make_predict_step
+
+        model = get_namebrand_model("inception_v3", n)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(1),
+                                              size)
+        fparams, fstats = fold_params("inception_v3", params, stats)
+        fmodel = get_namebrand_model("inception_v3", n, fold_bn=True)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3))
+        probs_f = np.asarray(make_predict_step(fmodel)(fparams, fstats, x))
+
+        out = {}
+        old = os.environ.get("IFCBNN_QUANT_RESIDENT")
+        try:
+            for tag, env in (("resident", "1"), ("interceptor", "0")):
+                os.environ["IFCBNN_QUANT_RESIDENT"] = env
+                calib_fn, geoms = Q.make_calib_fn(fmodel)
+                absmax = {k: float(v) for k, v in jax.device_get(
+                    jax.jit(calib_fn)(fparams, fstats, x)).items()}
+                pruned, qconv = Q.quantize_params(fparams, absmax, geoms)
+                pruned["__quant__"] = qconv
+                predict = Q.make_quant_predict(fmodel, absmax, geoms)
+                out[tag] = (np.asarray(jax.jit(predict)(pruned, fstats, x)),
+                            qconv, pruned)
+        finally:
+            if old is None:
+                os.environ.pop("IFCBNN_QUANT_RESIDENT", None)
+            else:
+                os.environ["IFCBNN_QUANT_RESIDENT"] = old
+        return probs_f, out
+
+    def test_resident_matches_fp32_and_interceptor(self):
+        probs_f, out = self._all()
+        pr, qconv_r, _ = out["resident"]
+        pi, qconv_i, _ = out["interceptor"]
+        # same conv set quantized (every non-grouped conv incl. stem)
+        assert set(qconv_r) == set(qconv_i)
+        assert len(qconv_r) == 94
+        # PTQ gate vs fp32 (the same 2e-2 gate the generic tier uses)
+        assert float(np.abs(pr - probs_f).max()) < 2e-2
+        assert (pr.argmax(-1) == probs_f.argmax(-1)).all()
+        # the two int8 graphs share quantization points — they must agree
+        # much tighter with each other than the PTQ gate
+        assert float(np.abs(pr - pi).max()) < 5e-3
+        assert (pr.argmax(-1) == pi.argmax(-1)).all()
+
+    def test_resident_prunes_every_conv(self):
+        _, out = self._all(size=75, batch=2)
+        _, qconv, pruned = out["resident"]
+        # only the head (fc) keeps float weights in the pruned tree
+        leaves = jax.tree_util.tree_leaves_with_path(
+            {k: v for k, v in pruned.items() if k != "__quant__"})
+        paths = {"/".join(p.key for p in path) for path, _ in leaves}
+        assert paths == {"fc/kernel", "fc/bias"}, paths
+        # weights stored once, int8, per-channel scales
+        leaf = qconv["Mixed_5b/branch1x1/conv"]
+        assert leaf["w_int8"].dtype == np.int8
+        assert leaf["w_scale"].shape == (64,)

@@ -165,21 +165,10 @@ def bench_infer():
     if quant:
         assert folded, "int8 builds on the folded graph (unset BENCH_FOLD=0)"
         from ifcb_classifier_tpu.models import quant as Q
-        calib_fn, geoms = Q.make_calib_fn(model)
-
-        @jax.jit
-        def calib_batch(params, stats, canvas, sizes):
-            x = preprocess_batch(canvas, sizes, out_size=299,
-                                 dtype=jnp.float32)
-            return calib_fn(params, stats, x)
-
-        absmax = {k: float(v) for k, v in jax.device_get(
-            calib_batch(params, batch_stats, *dev_chunks[0][:2])).items()}
-        pruned, qconv = Q.quantize_params(jax.device_get(params),
-                                          absmax, geoms)
-        pruned["__quant__"] = qconv
-        params = jax.device_put(pruned)
-        predict_q = Q.make_quant_predict(model, absmax, geoms)
+        calib_x = jax.jit(lambda c, s: preprocess_batch(
+            c, s, out_size=299, dtype=jnp.float32))(*dev_chunks[0][:2])
+        params, predict_q = Q.build_quant_predict(model, params,
+                                                  batch_stats, calib_x)
 
         @jax.jit
         def run_batch(params, stats, canvas, sizes, acc):  # noqa: F811

@@ -22,6 +22,18 @@ import jax.numpy as jnp
 from .layers import TorchBN, avg_pool, global_avg_pool, max_pool
 
 
+def transform_input_renorm(x):
+    """torchvision pretrained-mode channel renormalization (Inception3
+    transform_input): maps inputs normalized to mean/std 0.5 onto the
+    ImageNet per-channel statistics. Shared by the flax model below and
+    the int8-resident graph (models/quant_graph.py) so the constants
+    cannot drift between the two."""
+    ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+    ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+    ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+    return jnp.concatenate([ch0, ch1, ch2], axis=-1)
+
+
 class BasicConv2d(nn.Module):
     features: int
     kernel_size: tuple
@@ -232,11 +244,7 @@ class InceptionV3(nn.Module):
             raise ValueError("fold_bn + stem_s2d unsupported")
         x = x.astype(d)
         if self.transform_input:
-            # torchvision pretrained-mode channel renormalization
-            ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
-            ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
-            ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
-            x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
+            x = transform_input_renorm(x)
 
         if self.stem_s2d:
             x = BasicConv2dS2D(32, d, name="Conv2d_1a_3x3")(x, train)

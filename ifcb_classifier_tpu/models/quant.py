@@ -143,6 +143,24 @@ def quantize_params(params, absmax, geoms):
     return pruned, qconv
 
 
+def build_quant_predict(model, params, batch_stats, calib_images):
+    """One-shot offline build: calibrate activation scales on ONE batch,
+    quantize the folded weights, and return (device_params, predict_fn)
+    where device_params carries the int8 leaves under '__quant__'.
+
+    This is the single source of truth for the calibrate→quantize→swap
+    sequence the engine performs lazily (infer/runner.py:_calibrate) —
+    bench.py / tools/roofline.py / tools/profile_ops.py all build their
+    quantized graphs through here so they measure the production graph.
+    """
+    calib_fn, geoms = make_calib_fn(model)
+    absmax = {k: float(v) for k, v in jax.device_get(
+        jax.jit(calib_fn)(params, batch_stats, calib_images)).items()}
+    pruned, qconv = quantize_params(jax.device_get(params), absmax, geoms)
+    pruned[_QUANT_KEY] = qconv
+    return jax.device_put(pruned), make_quant_predict(model, absmax, geoms)
+
+
 def make_quant_predict(model, absmax, geoms):
     """Build predict(params_with_qconv, batch_stats, images) -> probs where
     every calibrated conv runs int8 on the MXU. `params_with_qconv` is the

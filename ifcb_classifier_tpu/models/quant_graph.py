@@ -42,8 +42,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .inception import transform_input_renorm
 from .layers import avg_pool as _avg_pool_f32
 from .layers import max_pool as _max_pool_f32
+from .quant import _tree_get
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -52,13 +54,6 @@ def _norm(stride, padding):
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
     return s, ((p[0], p[0]), (p[1], p[1]))
-
-
-def _tree_get(tree, path):
-    node = tree
-    for k in path:
-        node = node[k]
-    return node
 
 
 def _q8(y, inv_scale):
@@ -269,10 +264,7 @@ def _block_e(ctx, x, name, final=False):
 def _graph(ctx, x, transform_input):
     x = x.astype(jnp.float32)
     if transform_input:  # torchvision pretrained-mode channel renorm
-        ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
-        ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
-        ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
-        x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
+        x = transform_input_renorm(x)
     x = ctx.conv(x, ("Conv2d_1a_3x3", "conv"), stride=2)
     x = ctx.conv(x, ("Conv2d_2a_3x3", "conv"))
     x = ctx.conv(x, ("Conv2d_2b_3x3", "conv"), padding=1)

@@ -29,29 +29,56 @@ def tolerant_torch_load(path: str):
     """torch.load that survives Lightning checkpoints in an environment
     without pytorch_lightning: its AttributeDict (a plain dict subclass)
     pickled into hyper_parameters is mapped back to dict at unpickle time.
-    Everything else unpickles normally (argparse.Namespace is stdlib)."""
+
+    This loader exists because `weights_only=True` rejects those pickled
+    hparams objects — but it must NOT reopen the arbitrary-code-execution
+    hole weights_only closes. find_class is therefore an ALLOWLIST: torch
+    tensor-rebuild machinery, stdlib containers, argparse.Namespace, numpy
+    reconstruction, and Lightning classes (mapped to dict). Anything else
+    fails the unpickle instead of importing attacker-chosen code."""
+    import collections
     import pickle
     import types
 
     import torch
 
+    _SAFE = {
+        ("collections", "OrderedDict"): collections.OrderedDict,
+        ("collections", "defaultdict"): collections.defaultdict,
+        ("argparse", "Namespace"): __import__("argparse").Namespace,
+    }
+
     class _Unpickler(pickle.Unpickler):
         def find_class(self, module, name):
-            try:
+            if module.startswith(("pytorch_lightning", "lightning")):
+                return dict  # AttributeDict et al. -> plain dict
+            if (module, name) in _SAFE:
+                return _SAFE[(module, name)]
+            if module == "torch._utils" and name.startswith("_rebuild"):
                 return super().find_class(module, name)
-            except (ImportError, AttributeError):
-                if module.startswith(("pytorch_lightning", "lightning")):
-                    return dict
-                raise
+            if module == "torch" and (name.endswith("Storage")
+                                      or name in ("Size", "device", "dtype",
+                                                  "Tensor")):
+                return super().find_class(module, name)
+            if module in ("torch.serialization", "torch.storage"):
+                return super().find_class(module, name)
+            if module.startswith("numpy") and name in (
+                    "_reconstruct", "ndarray", "dtype", "scalar"):
+                return super().find_class(module, name)
+            raise pickle.UnpicklingError(
+                f"{module}.{name} is not allowlisted for checkpoint "
+                "unpickling (refusing to execute arbitrary classes from "
+                "an untrusted model file; if this is a legitimate "
+                "Lightning artifact, extend _SAFE in models/torch_port.py)")
 
     shim = types.ModuleType("_ptl_pickle_shim")
     shim.Unpickler = _Unpickler
     shim.load = lambda f, **kw: _Unpickler(f, **kw).load()
-    try:
-        return torch.load(path, map_location="cpu", pickle_module=shim,
-                          weights_only=False)
-    except TypeError:  # torch<1.13: no weights_only kwarg
-        return torch.load(path, map_location="cpu", pickle_module=shim)
+    import inspect
+    kwargs = {}
+    if "weights_only" in inspect.signature(torch.load).parameters:
+        kwargs["weights_only"] = False  # our allowlist is the guard
+    return torch.load(path, map_location="cpu", pickle_module=shim, **kwargs)
 
 
 def _load_state_dict(path: str) -> dict:
@@ -181,13 +208,17 @@ def _transform_leaf(torch_arr: np.ndarray, flax_leaf) -> np.ndarray:
 
 
 def port_state_dict(family: str, state_dict: dict, params, batch_stats,
-                    skip_head: bool = True):
+                    skip_head: bool = True, on_missing: str = "warn"):
     """Fill our (params, batch_stats) trees from a torch state_dict.
 
     skip_head: leave the classifier head at its fresh initialization — the
     reference's head-surgery semantics (pretrained trunk + new fc,
     neuston_models.py:24-42). Head keys are detected by name ('fc',
     'classifier', 'AuxLogits.fc').
+    on_missing: 'warn' prints unmapped keys (partial ports are fine when
+    seeding a fresh trunk); 'raise' fails instead — required when the
+    caller's template is zeros, where a silent partial port would serve
+    garbage scores (checkpoint._load_lightning_checkpoint).
     """
     import jax
 
@@ -238,6 +269,11 @@ def port_state_dict(family: str, state_dict: dict, params, batch_stats,
     new_params = fill(params, "params")
     new_stats = fill(batch_stats, "batch_stats")
     if missing:
+        if on_missing == "raise":
+            raise ValueError(
+                f"torch_port: {len(missing)} of our {family} tensors have "
+                f"no source key in the state_dict (first few: "
+                f"{missing[:5]}) — refusing a partial port")
         print(f"torch_port: {len(missing)} keys not found in state_dict "
               f"(first few: {missing[:5]})")
     print(f"torch_port: ported {len(ported)} tensors")

@@ -59,12 +59,23 @@ def load_checkpoint(path: str):
     conversion step. Lightning weights are ported tensor-by-tensor
     (models/torch_port.py) including the trained classifier head."""
     with open(path, "rb") as f:
-        blob = f.read()
+        head = f.read(4)
+        if head == b"PK\x03\x04":  # torch zip checkpoint — skip the
+            try:                   # msgpack probe (and its full-file read)
+                return _load_lightning_checkpoint(path)
+            except ValueError:
+                raise
+            except Exception as e:
+                raise ValueError(f"{path}: torch zip that is not a "
+                                 f"loadable Lightning checkpoint "
+                                 f"({e})") from e
+        blob = head + f.read()
     try:
         payload = flax.serialization.msgpack_restore(blob)
-        native_err = None if payload.get("format") == FORMAT_TAG else \
+        native_err = None if (isinstance(payload, dict)
+                              and payload.get("format") == FORMAT_TAG) else \
             ValueError(f"{path}: not an ifcbnn checkpoint")
-    except Exception as e:  # not msgpack at all (e.g. a torch zip)
+    except Exception as e:  # not msgpack at all (e.g. a legacy torch file)
         payload, native_err = None, e
     if native_err is None:
         hparams = json.loads(payload["hparams_json"])
@@ -122,9 +133,12 @@ def _load_lightning_checkpoint(path: str):
     template = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, s.dtype), variables)
     from ..models.torch_port import port_state_dict
+    # on_missing='raise': the template is zeros, so a silent partial port
+    # (layout drift, stripped/renamed keys) would serve garbage scores
     params, stats = port_state_dict(
         model_name, sd, template["params"],
-        template.get("batch_stats", {}), skip_head=False)
+        template.get("batch_stats", {}), skip_head=False,
+        on_missing="raise")
 
     hparams = dict(_jsonable(hp))
     hparams.update(MODEL=model_name, classes=classes, resize=resize,

@@ -343,6 +343,12 @@ class TestExportFolding:
         np.testing.assert_allclose(scores[order], direct, atol=1e-3)
 
 
+class _NotAllowlisted:
+    """Stand-in for an attacker-controlled class pickled into a .ptl; the
+    tolerant unpickler must refuse to resolve it (module-level so pickle
+    can reference it by module+name)."""
+
+
 class TestLightningCheckpoint:
     """Direct RUN/EXPORT consumption of the reference's .ptl artifacts
     (train/checkpoint.py:_load_lightning_checkpoint). The fabricated ckpt
@@ -450,3 +456,45 @@ class TestLightningCheckpoint:
             f.write(b"this is not a checkpoint of any kind")
         with pytest.raises(ValueError):
             load_checkpoint(bad)
+
+    def test_msgpack_scalar_file_raises_valueerror(self, tmp_path):
+        """A file whose bytes decode as a bare msgpack scalar must hit the
+        documented ValueError, not an AttributeError on payload.get."""
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+        bad = str(tmp_path / "scalar.ckpt")
+        with open(bad, "wb") as f:
+            f.write(b"\x01")  # msgpack: the integer 1
+        with pytest.raises(ValueError):
+            load_checkpoint(bad)
+
+    def test_ptl_with_missing_trunk_keys_raises(self, tmp_path):
+        """The .ptl porting template is zeros, so an incomplete state_dict
+        (layout drift, stripped keys) must fail loudly instead of serving
+        zero-weight garbage scores."""
+        import torch
+
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+        path = str(tmp_path / "model.ptl")
+        self._fake_ptl(path)
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        dropped = [k for k in ckpt["state_dict"] if "layer1" in k]
+        assert dropped
+        for k in dropped:
+            del ckpt["state_dict"][k]
+        torch.save(ckpt, path)
+        with pytest.raises(ValueError, match="partial port"):
+            load_checkpoint(path)
+
+    def test_ptl_with_non_allowlisted_class_refuses(self, tmp_path):
+        """The tolerant unpickler is an allowlist: a checkpoint carrying an
+        arbitrary class (the arbitrary-code-execution vector torch's
+        weights_only=True exists to block) must refuse to load."""
+        import torch
+
+        from ifcb_classifier_tpu.train.checkpoint import load_checkpoint
+        path = str(tmp_path / "evil.ptl")
+        torch.save({"state_dict": {}, "hyper_parameters": {
+            "MODEL": "resnet18", "classes": ["a"],
+            "gadget": _NotAllowlisted()}}, path)
+        with pytest.raises(ValueError, match="allowlisted"):
+            load_checkpoint(path)

@@ -72,21 +72,12 @@ def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
     if precision == "int8":
         import numpy as np
 
-        from ifcb_classifier_tpu.models.quant import (make_calib_fn,
-                                                      make_quant_predict,
-                                                      quantize_params,
+        from ifcb_classifier_tpu.models.quant import (build_quant_predict,
                                                       supports_quant)
         assert supports_quant(model_name), model_name
         calib_x = jnp.asarray(
             np.random.RandomState(1).rand(batch, size, size, 3), jnp.float32)
-        calib_fn, geoms = make_calib_fn(model)
-        absmax = {p: float(v) for p, v in jax.jit(calib_fn)(
-            params, stats, calib_x).items()}
-        pruned, qconv = quantize_params(jax.device_get(params), absmax,
-                                        geoms)
-        pruned["__quant__"] = qconv
-        params = jax.device_put(pruned)
-        predict = make_quant_predict(model, absmax, geoms)
+        params, predict = build_quant_predict(model, params, stats, calib_x)
     else:
         predict = make_predict_step(model)
 

@@ -21,10 +21,57 @@ import os
 import numpy as np
 
 
+def _load_calib_batch(calib_src: str, resize: int, mean, std, n: int):
+    """One preprocessed calibration batch from a user-supplied sample of
+    deployment data: a bin directory (.adc/.roi/.hdr filesets) or an image
+    folder/.txt list. Returns [n, resize, resize, 3] float32 — the same
+    tensor the int8 engine calibrates on at its first dispatch
+    (infer/runner.py:_calibrate)."""
+    import glob as _glob
+
+    from .data.pipeline import pack_canvas_batch
+    from .ops.preprocess import preprocess_batch
+
+    adcs = sorted(_glob.glob(os.path.join(calib_src, "**", "*.adc"),
+                             recursive=True))
+    if adcs:
+        from .data.ifcb import Bin
+        images = []
+        for adc in adcs:
+            images.extend(Bin(adc).images.values())
+            if len(images) >= n:
+                break
+        images = images[:n]
+    else:
+        from .data.datasets import list_image_paths
+        from .data.pipeline import HostLoader
+        paths = list_image_paths(calib_src)[:n]
+        if not paths:
+            raise ValueError(f"--calib {calib_src}: no bins or images found")
+        batch = next(iter(HostLoader(paths, batch_size=len(paths),
+                                     rgb=True)))
+        images = [c[:h, :w] for c, (h, w) in
+                  zip(batch["canvas"], batch["sizes"])]
+    if not images:
+        raise ValueError(f"--calib {calib_src}: no ROIs found in bins")
+    canvas, sizes, _ = pack_canvas_batch(images, batch_size=len(images))
+    import numpy as _np
+    return _np.asarray(preprocess_batch(canvas, sizes, out_size=resize,
+                                        mean=mean, std=std))
+
+
 def export_model(ckpt_path: str, output: str | None = None,
-                 batchsize: int = 0, half: bool = False):
+                 batchsize: int = 0, half: bool = False,
+                 precision: str | None = None, calib: str | None = None,
+                 calib_count: int = 128):
     """Serialize the eval forward fn (preprocessed image batch → softmax
-    scores) as StableHLO bytes + sidecar .classes/.json metadata."""
+    scores) as StableHLO bytes + sidecar .classes/.json metadata.
+
+    precision='int8' bakes the post-training-quantized graph
+    (models/quant.py — the RUN --precision int8 tier) into the artifact:
+    activation scales are calibrated ONCE here on `calib` (a sample of
+    deployment bins/images, required) and frozen as constants, so the
+    deployed artifact needs no lazy calibration pass."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -36,7 +83,8 @@ def export_model(ckpt_path: str, output: str | None = None,
     params, batch_stats, hparams = load_checkpoint(ckpt_path)
     classes = hparams["classes"]
     resize = hparams["resize"]
-    dtype = jnp.bfloat16 if half else jnp.float32
+    quant = precision == "int8"
+    dtype = jnp.bfloat16 if (half or quant) else jnp.float32
     # pretrained round-trips from the checkpoint: torchvision semantics make
     # inception's transform_input a model attribute that applies at
     # inference too (see InferenceEngine for the same rule)
@@ -52,7 +100,28 @@ def export_model(ckpt_path: str, output: str | None = None,
     model = get_namebrand_model(hparams["MODEL"], len(classes),
                                 pretrained=bool(hparams.get("pretrained")),
                                 dtype=dtype, fold_bn=folded)
-    predict = make_predict_step(model)
+    if quant:
+        from .models.quant import build_quant_predict, supports_quant
+        if not supports_quant(hparams["MODEL"]) or not folded:
+            raise ValueError(f"--precision int8 unsupported for "
+                             f"{hparams['MODEL']!r} (needs a foldable, "
+                             "non-grouped-conv family)")
+        if not calib:
+            raise ValueError("--precision int8 needs --calib DIR (a sample "
+                             "of deployment bins or images to calibrate "
+                             "activation scales on)")
+        mean, std = (None, None)
+        if hparams.get("img_norm"):
+            from .data.datasets import parse_imgnorm
+            mean, std = parse_imgnorm(hparams["img_norm"])
+        calib_x = _load_calib_batch(calib, resize, mean, std, calib_count)
+        print(f"calibrating int8 scales on {calib_x.shape[0]} ROIs "
+              f"from {calib}")
+        params, predict = build_quant_predict(
+            model, jax.device_put(params), jax.device_put(batch_stats),
+            jnp.asarray(calib_x))
+    else:
+        predict = make_predict_step(model)
 
     def fn(images):
         return predict(params, batch_stats, images)
@@ -69,7 +138,8 @@ def export_model(ckpt_path: str, output: str | None = None,
 
     if not output:
         output = ckpt_path.replace(".ptl", "").replace(".ckpt", "")
-        output += ".FP16.stablehlo" if half else ".stablehlo"
+        output += (".INT8.stablehlo" if quant
+                   else ".FP16.stablehlo" if half else ".stablehlo")
     os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
     with open(output, "wb") as f:
         f.write(blob)
@@ -85,7 +155,11 @@ def export_model(ckpt_path: str, output: str | None = None,
         json.dump(dict(model=hparams["MODEL"], resize=resize,
                        img_norm=hparams.get("img_norm"),
                        model_id=hparams.get("model_id"),
-                       n_classes=len(classes), bn_folded=folded), f)
+                       n_classes=len(classes), bn_folded=folded,
+                       precision=("int8" if quant
+                                  else "bf16" if half else "fp32"),
+                       calib_src=(os.path.abspath(calib) if quant
+                                  else None)), f)
     return output
 
 
@@ -159,6 +233,17 @@ def main_cli(argv=None):
     exp.add_argument("MODEL", help="Model checkpoint (.ptl) to convert")
     exp.add_argument("--half", action="store_true",
                      help="Export with bf16 compute (the FP16 analog)")
+    exp.add_argument("--precision", choices=["fp32", "bf16", "int8"],
+                     default=None,
+                     help="int8: bake the calibrated post-training-"
+                          "quantized graph into the artifact (needs "
+                          "--calib); bf16 = --half; default fp32")
+    exp.add_argument("--calib", default=None, metavar="DIR",
+                     help="With --precision int8: a sample of deployment "
+                          "bins or images to calibrate activation scales "
+                          "on (scales freeze into the artifact)")
+    exp.add_argument("--calib-count", default=128, type=int,
+                     help="Max ROIs/images in the calibration batch")
     exp.add_argument("--batchsize", default=0, type=int,
                      help="Fixed batch size; default 0 = dynamic batch")
     exp.add_argument("--output", default=None)
@@ -171,7 +256,10 @@ def main_cli(argv=None):
 
     args = parser.parse_args(argv)
     if args.cmd_mode == "EXPORT":
-        export_model(args.MODEL, args.output, args.batchsize, args.half)
+        export_model(args.MODEL, args.output, args.batchsize,
+                     args.half or args.precision == "bf16",
+                     precision=args.precision, calib=args.calib,
+                     calib_count=args.calib_count)
     elif args.cmd_mode == "RUN":
         run_exported(args.MODEL, args.SRC, args.classfile, args.batch_size)
     else:

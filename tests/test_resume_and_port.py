@@ -7,7 +7,7 @@ import os
 import numpy as np
 import pytest
 
-from fixtures import write_image_folder_dataset
+from fixtures import make_roi, write_bin, write_image_folder_dataset
 from test_train_loop import make_args
 
 
@@ -148,6 +148,103 @@ class TestExport:
         direct = np.asarray(predict(state.params, state.batch_stats, x))
         order = np.argsort(paths)
         np.testing.assert_allclose(scores[order], direct, atol=1e-4)
+
+
+class TestExportInt8:
+    """EXPORT --precision int8: the post-training-quantized graph baked
+    into the StableHLO artifact with activation scales calibrated once at
+    export time (export.py:export_model). Covers both calibration sources
+    (image folder / bin directory) and both int8 graph variants
+    (interceptor via resnet18, resident via inception_v3)."""
+
+    def _ckpt(self, tmp_path, name="resnet18", n=3, resize=32):
+        import jax
+        import jax.numpy as jnp
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model(name, n, dtype=jnp.float32)
+        if name == "inception_v3":
+            # eval-mode init: the aux tower needs 299² under train=True,
+            # and inference artifacts never run it
+            v = model.init(jax.random.PRNGKey(4),
+                           jnp.zeros((1, resize, resize, 3), jnp.float32),
+                           train=False)
+            params, stats = v["params"], v["batch_stats"]
+        else:
+            state, _ = create_train_state(model, jax.random.PRNGKey(4),
+                                          resize)
+            params, stats = state.params, state.batch_stats
+        p = str(tmp_path / "m.ptl")
+        save_checkpoint(p, params, stats,
+                        dict(MODEL=name, classes=list("abc")[:n],
+                             resize=resize, model_id="m", seed=1,
+                             img_norm=None))
+        return p
+
+    def test_int8_export_runs_and_matches_fp32_argmax(self, tmp_path):
+        from ifcb_classifier_tpu.export import export_model, run_exported
+
+        ckpt = self._ckpt(tmp_path)
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"c": 4},
+                                         size=(28, 28))
+        q = export_model(ckpt, str(tmp_path / "m.int8.stablehlo"),
+                         batchsize=4, precision="int8", calib=src)
+        f = export_model(ckpt, str(tmp_path / "m.fp32.stablehlo"),
+                         batchsize=4)
+        import json as _json
+        meta = _json.load(open(q + ".json"))
+        assert meta["precision"] == "int8" and meta["calib_src"]
+        sq, pq = run_exported(q, src, batch_size=4)
+        sf, pf = run_exported(f, src, batch_size=4)
+        assert sq.shape == sf.shape == (4, 3)
+        np.testing.assert_allclose(sq.sum(1), 1.0, atol=1e-3)
+        oq = np.argsort(pq)
+        of = np.argsort(pf)
+        assert np.abs(sq[oq] - sf[of]).max() < 2e-2  # the PTQ gate
+        assert (sq[oq].argmax(1) == sf[of].argmax(1)).all()
+
+    def test_int8_export_calibrates_from_bins(self, tmp_path):
+        from ifcb_classifier_tpu.export import export_model
+
+        ckpt = self._ckpt(tmp_path)
+        bins = tmp_path / "bins"
+        bins.mkdir()
+        write_bin(str(bins), "D20240401T000000_IFCB900",
+                  [make_roi(20 + i, 24, seed=i) for i in range(5)])
+        out = export_model(ckpt, str(tmp_path / "m.int8.stablehlo"),
+                           batchsize=2, precision="int8", calib=str(bins),
+                           calib_count=4)
+        assert os.path.isfile(out)
+
+    def test_int8_export_flagship_resident_graph(self, tmp_path):
+        """inception_v3 (folded) exports through the int8-RESIDENT graph
+        (models/quant_graph.py) — the deployment artifact for the
+        flagship."""
+        from ifcb_classifier_tpu.export import export_model, run_exported
+
+        ckpt = self._ckpt(tmp_path, name="inception_v3", resize=75)
+        src = write_image_folder_dataset(str(tmp_path / "imgs"), {"c": 2},
+                                         size=(40, 40))
+        out = export_model(ckpt, str(tmp_path / "i.int8.stablehlo"),
+                           batchsize=2, precision="int8", calib=src,
+                           calib_count=2)
+        scores, _ = run_exported(out, src, batch_size=2)
+        assert scores.shape == (2, 3)
+        np.testing.assert_allclose(scores.sum(1), 1.0, atol=1e-3)
+
+    def test_int8_export_requires_calib(self, tmp_path):
+        from ifcb_classifier_tpu.export import export_model
+        with pytest.raises(ValueError, match="--calib"):
+            export_model(self._ckpt(tmp_path), precision="int8")
+
+    def test_int8_export_rejects_unsupported_family(self, tmp_path):
+        from ifcb_classifier_tpu.export import export_model
+        ckpt = self._ckpt(tmp_path, name="squeezenet")
+        with pytest.raises(ValueError, match="int8"):
+            export_model(ckpt, precision="int8", calib=str(tmp_path))
 
 
 class TestHeadDetection:

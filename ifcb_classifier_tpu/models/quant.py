@@ -75,26 +75,36 @@ def _tree_prune(tree, path):
             for k, v in tree.items()}
 
 
-def _use_residency(model) -> bool:
-    """The flagship gets the int8-RESIDENT graph (models/quant_graph.py):
-    activations stay s8 in HBM between convs instead of materializing both
-    a bf16 and an s8 copy per edge. Same quantization points and scales as
-    the interceptor graph (see quant_graph docstring for the proof sketch);
+def _residency_module(model):
+    """Families with a hand-built int8-RESIDENT graph: activations stay s8
+    in HBM between convs instead of materializing both a bf16 and an s8
+    copy per edge (inception: models/quant_graph.py; resnets:
+    models/quant_resnet.py). Same quantization points and scales as the
+    interceptor graph (proof sketches in the module docstrings); returns
+    the graph module or None (→ generic interceptor).
     IFCBNN_QUANT_RESIDENT=0 falls back to the interceptor for A/B."""
     import os
-
+    if (not getattr(model, "fold", False)
+            or os.environ.get("IFCBNN_QUANT_RESIDENT", "1") == "0"):
+        return None
     from .inception import InceptionV3
-    return (isinstance(model, InceptionV3) and getattr(model, "fold", False)
-            and os.environ.get("IFCBNN_QUANT_RESIDENT", "1") != "0")
+    from .resnet import ResNet
+    if isinstance(model, InceptionV3):
+        from . import quant_graph
+        return quant_graph
+    if isinstance(model, ResNet):
+        from . import quant_resnet
+        return quant_resnet
+    return None
 
 
 def make_calib_fn(model):
     """Build a jit-able (params, batch_stats, images) -> {path: absmax}
     capture pass over the FOLDED eval graph: the per-tensor input absmax of
     every quantizable conv, plus the conv geometry needed to quantize."""
-    if _use_residency(model):
-        from . import quant_graph
-        return quant_graph.make_calib_fn(model)
+    resident = _residency_module(model)
+    if resident is not None:
+        return resident.make_calib_fn(model)
     import flax.linen as nn
 
     geoms = {}
@@ -168,9 +178,9 @@ def make_quant_predict(model, absmax, geoms):
     (keeps the engine's (params, batch_stats, canvas, sizes) call signature
     and the existing sharding rules — qconv leaves replicate).
     """
-    if _use_residency(model):
-        from . import quant_graph
-        return quant_graph.make_quant_predict(model, absmax, geoms)
+    resident = _residency_module(model)
+    if resident is not None:
+        return resident.make_quant_predict(model, absmax, geoms)
     import flax.linen as nn
 
     # python-float constants -> identical quantize subgraphs for convs

@@ -247,12 +247,13 @@ class TestQuantService:
 
 
 class TestResidentGraph:
-    """int8-RESIDENT flagship graph (models/quant_graph.py): activations
-    stay s8 between convs. Same quantization points as the interceptor
-    graph, so the two int8 variants must agree with each other and with
-    fp32 at the standard PTQ gate."""
+    """int8-RESIDENT graphs (models/quant_graph.py for inception,
+    models/quant_resnet.py for resnets): activations stay s8 between
+    convs. Same quantization points as the interceptor graph, so the two
+    int8 variants must agree with each other and with fp32 at the
+    standard PTQ gate."""
 
-    def _all(self, size=75, n=5, batch=4):
+    def _all(self, size=75, n=5, batch=4, family="inception_v3"):
         import os
 
         from ifcb_classifier_tpu.models import get_namebrand_model
@@ -260,11 +261,11 @@ class TestResidentGraph:
         from ifcb_classifier_tpu.models.fold import fold_params
         from ifcb_classifier_tpu.train.state import make_predict_step
 
-        model = get_namebrand_model("inception_v3", n)
+        model = get_namebrand_model(family, n)
         params, stats = _randomized_variables(model, jax.random.PRNGKey(1),
                                               size)
-        fparams, fstats = fold_params("inception_v3", params, stats)
-        fmodel = get_namebrand_model("inception_v3", n, fold_bn=True)
+        fparams, fstats = fold_params(family, params, stats)
+        fmodel = get_namebrand_model(family, n, fold_bn=True)
         x = jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 3))
         probs_f = np.asarray(make_predict_step(fmodel)(fparams, fstats, x))
 
@@ -315,3 +316,27 @@ class TestResidentGraph:
         leaf = qconv["Mixed_5b/branch1x1/conv"]
         assert leaf["w_int8"].dtype == np.int8
         assert leaf["w_scale"].shape == (64,)
+
+    @pytest.mark.parametrize("family,n_convs",
+                             [("resnet18", 20), ("resnet50", 53)])
+    def test_resident_resnet_matches_fp32_and_interceptor(self, family,
+                                                          n_convs):
+        """Both block kinds (basic incl. plain-identity adds, bottleneck
+        incl. downsample shortcuts) through models/quant_resnet.py. The
+        resident graph's shortcut is s8 by design (the interceptor adds
+        the bf16 tensor — see the quant_resnet docstring), so the
+        vs-interceptor gate is looser than inception's; the PRODUCT gate
+        (vs fp32, same as the generic tier) and argmax identity hold."""
+        probs_f, out = self._all(size=64, family=family)
+        pr, qconv_r, pruned = out["resident"]
+        pi, qconv_i, _ = out["interceptor"]
+        assert set(qconv_r) == set(qconv_i)
+        assert len(qconv_r) == n_convs
+        assert float(np.abs(pr - probs_f).max()) < 2e-2
+        assert (pr.argmax(-1) == probs_f.argmax(-1)).all()
+        assert float(np.abs(pr - pi).max()) < 3e-2
+        assert (pr.argmax(-1) == pi.argmax(-1)).all()
+        leaves = jax.tree_util.tree_leaves_with_path(
+            {k: v for k, v in pruned.items() if k != "__quant__"})
+        paths = {"/".join(p.key for p in path) for path, _ in leaves}
+        assert paths == {"fc/kernel", "fc/bias"}, paths

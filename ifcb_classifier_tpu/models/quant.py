@@ -79,22 +79,27 @@ def _residency_module(model):
     """Families with a hand-built int8-RESIDENT graph: activations stay s8
     in HBM between convs instead of materializing both a bf16 and an s8
     copy per edge (inception: models/quant_graph.py; resnets:
-    models/quant_resnet.py). Same quantization points and scales as the
-    interceptor graph (proof sketches in the module docstrings); returns
-    the graph module or None (→ generic interceptor).
-    IFCBNN_QUANT_RESIDENT=0 falls back to the interceptor for A/B."""
+    models/quant_resnet.py; vgg*_bn: models/quant_vgg.py). Same
+    quantization points and scales as the interceptor graph (proof
+    sketches in the module docstrings; resnets deviate on the shortcut,
+    documented there); returns the graph module or None (→ generic
+    interceptor). IFCBNN_QUANT_RESIDENT=0 falls back for A/B."""
     import os
     if (not getattr(model, "fold", False)
             or os.environ.get("IFCBNN_QUANT_RESIDENT", "1") == "0"):
         return None
     from .inception import InceptionV3
     from .resnet import ResNet
+    from .vgg import VGG
     if isinstance(model, InceptionV3):
         from . import quant_graph
         return quant_graph
     if isinstance(model, ResNet):
         from . import quant_resnet
         return quant_resnet
+    if isinstance(model, VGG):
+        from . import quant_vgg
+        return quant_vgg
     return None
 
 

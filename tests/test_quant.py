@@ -340,3 +340,24 @@ class TestResidentGraph:
             {k: v for k, v in pruned.items() if k != "__quant__"})
         paths = {"/".join(p.key for p in path) for path, _ in leaves}
         assert paths == {"fc/kernel", "fc/bias"}, paths
+
+    def test_resident_vgg_matches_fp32_and_interceptor(self):
+        """vgg11_bn through models/quant_vgg.py — a pure conv chain, so
+        the quantization points are the interceptor's exactly (tight
+        agreement like inception's)."""
+        probs_f, out = self._all(size=224, batch=2, family="vgg11_bn")
+        pr, qconv_r, pruned = out["resident"]
+        pi, qconv_i, _ = out["interceptor"]
+        assert set(qconv_r) == set(qconv_i)
+        assert len(qconv_r) == 8
+        assert float(np.abs(pr - probs_f).max()) < 2e-2
+        assert (pr.argmax(-1) == probs_f.argmax(-1)).all()
+        assert float(np.abs(pr - pi).max()) < 5e-3
+        assert (pr.argmax(-1) == pi.argmax(-1)).all()
+        # classifier Denses stay full precision in the pruned tree
+        leaves = jax.tree_util.tree_leaves_with_path(
+            {k: v for k, v in pruned.items() if k != "__quant__"})
+        paths = {"/".join(p.key for p in path) for path, _ in leaves}
+        assert paths == {"classifier_0/kernel", "classifier_0/bias",
+                         "classifier_3/kernel", "classifier_3/bias",
+                         "classifier_6/kernel", "classifier_6/bias"}, paths

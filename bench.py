@@ -99,30 +99,40 @@ def bench_infer():
     B = int(os.environ.get("BENCH_BATCH", "256"))
     S = 128  # typical ROI ladder bucket
 
-    model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16)
+    # BENCH_MODEL=resnet50 etc. benches an alternate family through the
+    # same product path; the headline stays the inception_v3 default
+    model_name = os.environ.get("BENCH_MODEL", "inception_v3")
+    from ifcb_classifier_tpu.models import input_size_for
+    out_size = int(os.environ.get("BENCH_SIZE", 0)) or \
+        input_size_for(model_name)
+    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
     variables = model.init(  # no optimizer state needed for inference
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jnp.zeros((1, 299, 299, 3), jnp.float32), train=True)
-    params, batch_stats = variables["params"], variables["batch_stats"]
+        jnp.zeros((1, out_size, out_size, 3), jnp.float32), train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     # BN→conv folding is the InferenceEngine default (models/fold.py);
     # bench the product path. BENCH_FOLD=0 A/Bs the unfolded graph.
-    folded = os.environ.get("BENCH_FOLD", "1") != "0"
+    from ifcb_classifier_tpu.models.fold import supports_fold
+    folded = (os.environ.get("BENCH_FOLD", "1") != "0"
+              and supports_fold(model_name))
     if folded:
         from ifcb_classifier_tpu.models.fold import fold_params
         params, batch_stats = fold_params(
-            "inception_v3", jax.device_get(params),
+            model_name, jax.device_get(params),
             jax.device_get(batch_stats))
         # fold_params returns HOST numpy — device_put or every timed call
         # re-pays the full weight transfer over the dev tunnel (~25 MB/s)
         params = jax.device_put(params)
         batch_stats = jax.device_put(batch_stats)
-        model = get_namebrand_model("inception_v3", 50, dtype=jnp.bfloat16,
+        model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16,
                                     fold_bn=True)
     predict = make_predict_step(model)
 
     @jax.jit
     def run_batch(params, stats, canvas, sizes, acc):
-        x = preprocess_batch(canvas, sizes, out_size=299, dtype=jnp.float32)
+        x = preprocess_batch(canvas, sizes, out_size=out_size,
+                             dtype=jnp.float32)
         probs = predict(params, stats, x)
         # acc threads a data dependency across batches so the final fetch
         # proves every batch completed (CLAUDE.md benchmarking rule)
@@ -163,16 +173,19 @@ def bench_infer():
     # this corpus, then the timed graph runs every conv on the int8 MXU.
     quant = os.environ.get("BENCH_PRECISION") == "int8"
     if quant:
-        assert folded, "int8 builds on the folded graph (unset BENCH_FOLD=0)"
         from ifcb_classifier_tpu.models import quant as Q
+        assert Q.supports_quant(model_name), \
+            f"BENCH_PRECISION=int8 unsupported for {model_name!r}"
+        assert folded, "int8 builds on the folded graph (unset BENCH_FOLD=0)"
         calib_x = jax.jit(lambda c, s: preprocess_batch(
-            c, s, out_size=299, dtype=jnp.float32))(*dev_chunks[0][:2])
+            c, s, out_size=out_size,
+            dtype=jnp.float32))(*dev_chunks[0][:2])
         params, predict_q = Q.build_quant_predict(model, params,
                                                   batch_stats, calib_x)
 
         @jax.jit
         def run_batch(params, stats, canvas, sizes, acc):  # noqa: F811
-            x = preprocess_batch(canvas, sizes, out_size=299,
+            x = preprocess_batch(canvas, sizes, out_size=out_size,
                                  dtype=jnp.float32)
             probs = predict_q(params, stats, x)
             return probs, acc + jnp.sum(probs)
@@ -203,13 +216,17 @@ def bench_infer():
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",
         "value": round(ips, 2), "unit": "images/sec/chip",
         "host_pack_imgs_per_sec": round(pack_rate, 0),
+        "model": model_name,
         "bn_folded": folded,
         "precision": "int8" if quant else "bf16",
         "trials": [round(t, 1) for t in trials],
         "spread_pct": round(100.0 * (max(trials) - min(trials)) / ips, 2),
-        "vs_baseline": _vs_baseline(
+        # the reference anchor is inception_v3 — a cross-model ratio would
+        # be meaningless, so alternate BENCH_MODELs report null
+        "vs_baseline": (_vs_baseline(
             ips, "ref_gpu_estimate_infer_imgs_per_sec",
-            "infer_imgs_per_sec")}
+            "infer_imgs_per_sec") if model_name == "inception_v3"
+            else None)}
     if batch_flops:
         payload["flops_per_img"] = round(batch_flops / B / 1e9, 2)  # GF
         # MFU from actual compiled CALLS, not real-ROI count: the final

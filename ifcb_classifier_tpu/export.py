@@ -35,13 +35,22 @@ def _load_calib_batch(calib_src: str, resize: int, mean, std, n: int):
     adcs = sorted(_glob.glob(os.path.join(calib_src, "**", "*.adc"),
                              recursive=True))
     if adcs:
-        from .data.ifcb import Bin
+        from .data.ifcb import SCHEMA_VERSION_1, Bin, infilled_images
         images = []
         for adc in adcs:
-            images.extend(Bin(adc).images.values())
+            b = Bin(adc)
+            # schema-v1 bins serve STITCHED composites (infer/runner.py
+            # predict_bin) — calibrate on the same tensors, not the raw
+            # unstitched sub-ROIs
+            imgs = (infilled_images(b) if b.schema == SCHEMA_VERSION_1
+                    else b.images)
+            images.extend(imgs.values())
             if len(images) >= n:
                 break
         images = images[:n]
+        if not images:
+            raise ValueError(f"--calib {calib_src}: no ROIs found in bins")
+        canvas, sizes, _ = pack_canvas_batch(images, batch_size=len(images))
     else:
         from .data.datasets import list_image_paths
         from .data.pipeline import HostLoader
@@ -50,14 +59,9 @@ def _load_calib_batch(calib_src: str, resize: int, mean, std, n: int):
             raise ValueError(f"--calib {calib_src}: no bins or images found")
         batch = next(iter(HostLoader(paths, batch_size=len(paths),
                                      rgb=True)))
-        images = [c[:h, :w] for c, (h, w) in
-                  zip(batch["canvas"], batch["sizes"])]
-    if not images:
-        raise ValueError(f"--calib {calib_src}: no ROIs found in bins")
-    canvas, sizes, _ = pack_canvas_batch(images, batch_size=len(images))
-    import numpy as _np
-    return _np.asarray(preprocess_batch(canvas, sizes, out_size=resize,
-                                        mean=mean, std=std))
+        canvas, sizes = batch["canvas"], batch["sizes"]  # no pad rows
+    return np.asarray(preprocess_batch(canvas, sizes, out_size=resize,
+                                       mean=mean, std=std))
 
 
 def export_model(ckpt_path: str, output: str | None = None,

@@ -38,7 +38,6 @@ interceptor graph (A/B lever)."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -46,36 +45,17 @@ from .inception import transform_input_renorm
 from .layers import avg_pool as _avg_pool_f32
 from .layers import max_pool as _max_pool_f32
 from .quant import _tree_get
-
-_DN = ("NHWC", "HWIO", "NHWC")
-
-
-def _norm(stride, padding):
-    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
-    p = (padding, padding) if isinstance(padding, int) else tuple(padding)
-    return s, ((p[0], p[0]), (p[1], p[1]))
+from .quant_resident import (_DN, _norm, _q8, CalibCtxBase, QuantCtxBase,
+                             make_entrypoints)
 
 
-def _q8(y, inv_scale):
-    return jnp.clip(jnp.round(y * inv_scale), -127, 127).astype(jnp.int8)
-
-
-class _CalibCtx:
+class _CalibCtx(CalibCtxBase):
     """Float forward over the folded params, recording per-edge absmax:
     '<conv path>:in' (the tensor arriving at a conv while still float in
     the quantized graph — the image and avg-pooled branches) and
     '<conv path>:out' (the conv's post-relu output, the producer-side
     quantization scale). Also fills `geoms` so quantize_params knows the
     conv set (same contract as quant.make_calib_fn)."""
-
-    calib = True
-
-    def __init__(self, params, records, geoms, dtype):
-        self.p, self.records, self.geoms, self.dtype = \
-            params, records, geoms, dtype
-
-    def _rec(self, key, x):
-        self.records[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
 
     def conv(self, x, path, stride=1, padding=0, emit="self"):
         strides, pads = _norm(stride, padding)
@@ -107,20 +87,11 @@ class _CalibCtx:
         return x
 
 
-class _QuantCtx:
-    """int8-resident forward: activations are (int8 array, python-float
-    scale) pairs between convs; `pruned` carries only the un-quantized
-    leaves (the fc head), `qconv` the per-conv int8 weights/scales/biases
-    from quant.quantize_params."""
-
-    calib = False
-
-    def __init__(self, pruned, qconv, absmax, dtype):
-        self.p, self.qconv, self.absmax, self.dtype = \
-            pruned, qconv, absmax, dtype
-
-    def _scale(self, key):
-        return max(float(self.absmax[key]), 1e-12) / 127.0
+class _QuantCtx(QuantCtxBase):
+    """Activations are (int8 array, python-float scale) pairs between
+    convs; inception's concat groups share one emission scale (group()
+    below), which is why conv() takes an explicit `emit` argument instead
+    of the base emit(key) helper."""
 
     def conv(self, x, path, stride=1, padding=0, emit="self"):
         strides, pads = _norm(stride, padding)
@@ -291,30 +262,5 @@ def _graph(ctx, x, transform_input):
     return x.astype(jnp.float32)
 
 
-def make_calib_fn(model):
-    """Drop-in for quant.make_calib_fn on a folded InceptionV3: returns
-    (calib_fn, geoms) with the residency edge keys ('<path>:in'/':out')."""
-    geoms = {}
-
-    def calib_fn(params, batch_stats, images):
-        records = {}
-        ctx = _CalibCtx(params, records, geoms, model.dtype)
-        _graph(ctx, images, model.transform_input)
-        return records
-
-    return calib_fn, geoms
-
-
-def make_quant_predict(model, absmax, geoms):
-    """Drop-in for quant.make_quant_predict: int8-resident forward over the
-    pruned-params + '__quant__' tree, softmax probs out."""
-    from .quant import _QUANT_KEY
-
-    def predict(params, batch_stats, images):
-        params = dict(params)
-        qconv = params.pop(_QUANT_KEY)
-        ctx = _QuantCtx(params, qconv, absmax, model.dtype)
-        logits = _graph(ctx, images, model.transform_input)
-        return jax.nn.softmax(logits, axis=-1)
-
-    return predict
+make_calib_fn, make_quant_predict = make_entrypoints(
+    _CalibCtx, _QuantCtx, _graph, lambda m: (m.transform_input,))

@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .quant import _tree_get
-from .quant_graph import _DN, _norm, _q8
+from .quant_resident import (_DN, _norm, _q8, CalibCtxBase, QuantCtxBase,
+                             make_entrypoints)
 from .resnet import RESNET_CFGS
 
 
@@ -63,22 +64,15 @@ def _block_list(variant):
     return block_kind, blocks
 
 
-class _CalibCtx:
+class _CalibCtx(CalibCtxBase):
     """Float forward over the folded params recording every conv input's
     absmax ('<path>:in') + geometry (same contract as quant.make_calib_fn:
     the keys and geoms feed quantize_params / the quant pass)."""
 
-    calib = True
-
-    def __init__(self, params, records, geoms, dtype):
-        self.p, self.records, self.geoms, self.dtype = \
-            params, records, geoms, dtype
-
     def conv(self, x, path, stride=1, padding=0, relu=True):
         strides, pads = _norm(stride, padding)
         self.geoms[tuple(path)] = dict(strides=strides, padding=pads)
-        self.records["/".join(path) + ":in"] = \
-            jnp.max(jnp.abs(x.astype(jnp.float32)))
+        self._rec("/".join(path) + ":in", x)
         node = _tree_get(self.p, path)
         y = lax.conv_general_dilated(
             x.astype(self.dtype), node["kernel"].astype(self.dtype),
@@ -86,9 +80,6 @@ class _CalibCtx:
             preferred_element_type=self.dtype)
         y = y + node["bias"].astype(self.dtype)
         return jnp.maximum(y, 0) if relu else y
-
-    def emit(self, y, key):
-        return y
 
     def maxpool(self, x):
         from .layers import max_pool
@@ -98,19 +89,10 @@ class _CalibCtx:
         return jnp.maximum(out + identity, 0)
 
 
-class _QuantCtx:
+class _QuantCtx(QuantCtxBase):
     """int8-resident forward: post-relu activations are (int8, python-float
     scale) pairs; `pruned` carries the fc head, `qconv` the int8
     weights/scales/biases from quant.quantize_params."""
-
-    calib = False
-
-    def __init__(self, pruned, qconv, absmax, dtype):
-        self.p, self.qconv, self.absmax, self.dtype = \
-            pruned, qconv, absmax, dtype
-
-    def _scale(self, key):
-        return max(float(self.absmax[key]), 1e-12) / 127.0
 
     def conv(self, x, path, stride=1, padding=0, relu=True):
         strides, pads = _norm(stride, padding)
@@ -131,10 +113,6 @@ class _QuantCtx:
         # the two int8 graphs agreeing at the bf16-rounding level (and
         # halves the bytes of any materialized pre-add tensor)
         return y.astype(self.dtype)
-
-    def emit(self, y, key):
-        s = self._scale(key)
-        return _q8(y.astype(jnp.float32), 1.0 / s), s
 
     def maxpool(self, x):
         q, s = x
@@ -190,31 +168,5 @@ def _graph(ctx, x, variant):
     return x.astype(jnp.float32)
 
 
-def make_calib_fn(model):
-    """Drop-in for quant.make_calib_fn on a folded ResNet."""
-    geoms = {}
-
-    def calib_fn(params, batch_stats, images):
-        records = {}
-        ctx = _CalibCtx(params, records, geoms, model.dtype)
-        _graph(ctx, images, model.variant)
-        return records
-
-    return calib_fn, geoms
-
-
-def make_quant_predict(model, absmax, geoms):
-    """Drop-in for quant.make_quant_predict: int8-resident forward over the
-    pruned-params + '__quant__' tree, softmax probs out."""
-    import jax
-
-    from .quant import _QUANT_KEY
-
-    def predict(params, batch_stats, images):
-        params = dict(params)
-        qconv = params.pop(_QUANT_KEY)
-        ctx = _QuantCtx(params, qconv, absmax, model.dtype)
-        logits = _graph(ctx, images, model.variant)
-        return jax.nn.softmax(logits, axis=-1)
-
-    return predict
+make_calib_fn, make_quant_predict = make_entrypoints(
+    _CalibCtx, _QuantCtx, _graph, lambda m: (m.variant,))

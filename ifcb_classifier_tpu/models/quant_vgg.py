@@ -31,7 +31,8 @@ from jax import lax
 
 from .layers import adaptive_avg_pool
 from .quant import _tree_get
-from .quant_graph import _DN, _q8
+from .quant_resident import (_DN, _q8, CalibCtxBase, QuantCtxBase,
+                             make_entrypoints)
 from .vgg import VGG_CFGS
 
 _PADS = ((1, 1), (1, 1))
@@ -52,26 +53,16 @@ def _conv_layers(cfg: str, batch_norm: bool):
     return out
 
 
-class _CalibCtx:
-    calib = True
-
-    def __init__(self, params, records, geoms, dtype):
-        self.p, self.records, self.geoms, self.dtype = \
-            params, records, geoms, dtype
-
+class _CalibCtx(CalibCtxBase):
     def conv_relu(self, x, path):
         self.geoms[tuple(path)] = dict(strides=(1, 1), padding=_PADS)
-        self.records["/".join(path) + ":in"] = \
-            jnp.max(jnp.abs(x.astype(jnp.float32)))
+        self._rec("/".join(path) + ":in", x)
         node = _tree_get(self.p, path)
         y = lax.conv_general_dilated(
             x.astype(self.dtype), node["kernel"].astype(self.dtype),
             (1, 1), _PADS, dimension_numbers=_DN,
             preferred_element_type=self.dtype)
         return jnp.maximum(y + node["bias"].astype(self.dtype), 0)
-
-    def emit(self, y, key):
-        return y
 
     def maxpool(self, x):
         from .layers import max_pool
@@ -81,16 +72,7 @@ class _CalibCtx:
         return x
 
 
-class _QuantCtx:
-    calib = False
-
-    def __init__(self, pruned, qconv, absmax, dtype):
-        self.p, self.qconv, self.absmax, self.dtype = \
-            pruned, qconv, absmax, dtype
-
-    def _scale(self, key):
-        return max(float(self.absmax[key]), 1e-12) / 127.0
-
+class _QuantCtx(QuantCtxBase):
     def conv_relu(self, x, path):
         key = "/".join(path)
         q = self.qconv[key]
@@ -105,10 +87,6 @@ class _QuantCtx:
         y = jnp.maximum(y.astype(jnp.float32) * (q["w_scale"] * s_x)
                         + q["bias"], 0.0)
         return y.astype(self.dtype)  # float; emit() requantizes
-
-    def emit(self, y, key):
-        s = self._scale(key)
-        return _q8(y.astype(jnp.float32), 1.0 / s), s
 
     def maxpool(self, x):
         if isinstance(x, tuple):
@@ -154,31 +132,5 @@ def _graph(ctx, x, cfg, batch_norm):
     return x.astype(jnp.float32)
 
 
-def make_calib_fn(model):
-    """Drop-in for quant.make_calib_fn on a folded VGG(_bn)."""
-    geoms = {}
-
-    def calib_fn(params, batch_stats, images):
-        records = {}
-        ctx = _CalibCtx(params, records, geoms, model.dtype)
-        _graph(ctx, images, model.cfg, model.batch_norm)
-        return records
-
-    return calib_fn, geoms
-
-
-def make_quant_predict(model, absmax, geoms):
-    """Drop-in for quant.make_quant_predict: int8-resident forward over the
-    pruned-params + '__quant__' tree, softmax probs out."""
-    import jax
-
-    from .quant import _QUANT_KEY
-
-    def predict(params, batch_stats, images):
-        params = dict(params)
-        qconv = params.pop(_QUANT_KEY)
-        ctx = _QuantCtx(params, qconv, absmax, model.dtype)
-        logits = _graph(ctx, images, model.cfg, model.batch_norm)
-        return jax.nn.softmax(logits, axis=-1)
-
-    return predict
+make_calib_fn, make_quant_predict = make_entrypoints(
+    _CalibCtx, _QuantCtx, _graph, lambda m: (m.cfg, m.batch_norm))

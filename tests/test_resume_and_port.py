@@ -206,14 +206,21 @@ class TestExportInt8:
         assert np.abs(sq[oq] - sf[of]).max() < 2e-2  # the PTQ gate
         assert (sq[oq].argmax(1) == sf[of].argmax(1)).all()
 
-    def test_int8_export_calibrates_from_bins(self, tmp_path):
+    @pytest.mark.parametrize("schema", [2, 1])
+    def test_int8_export_calibrates_from_bins(self, tmp_path, schema):
+        """Both bin schemas; schema-1 calibration must run the SAME
+        stitching the serving path applies (export._load_calib_batch
+        uses infilled_images, like predict_bin)."""
         from ifcb_classifier_tpu.export import export_model
 
         ckpt = self._ckpt(tmp_path)
         bins = tmp_path / "bins"
         bins.mkdir()
-        write_bin(str(bins), "D20240401T000000_IFCB900",
-                  [make_roi(20 + i, 24, seed=i) for i in range(5)])
+        pid = ("D20240401T000000_IFCB900" if schema == 2
+               else "IFCB1_2024_092_000000")
+        write_bin(str(bins), pid,
+                  [make_roi(20 + i, 24, seed=i) for i in range(5)],
+                  schema=schema)
         out = export_model(ckpt, str(tmp_path / "m.int8.stablehlo"),
                            batchsize=2, precision="int8", calib=str(bins),
                            calib_count=4)

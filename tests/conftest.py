@@ -15,3 +15,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache (same .jax_cache/ the TPU tools use; entries
+# are platform-keyed so CPU test executables coexist with TPU ones). The
+# full suite is compile-dominated — warm reruns skip most of it. Opt out
+# with IFCBNN_TEST_NO_CACHE=1 (e.g. to measure true cold-compile time).
+if os.environ.get("IFCBNN_TEST_NO_CACHE") != "1":
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from ifcb_classifier_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()

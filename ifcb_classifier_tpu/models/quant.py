@@ -46,6 +46,11 @@ _QUANT_KEY = "__quant__"
 _QUANT_FAMILIES = ("inception_v3", "resnet18", "resnet34", "resnet50",
                    "resnet101", "resnet152", "vgg11_bn", "vgg13_bn",
                    "vgg16_bn", "vgg19_bn")
+# efficientnet exclusion is MEASURED, not just reasoned: quantizing its
+# non-grouped (1x1) convs via the interceptor clocked 11.33 vs 10.64
+# ms/step bf16-folded (b0, b256 — 6.5% SLOWER): the quantize/dequantize
+# passes around each 1x1 cost more than the int8 MXU saves, and the
+# depthwise convs (VPU) gain nothing by construction.
 
 
 def supports_quant(model_name: str) -> bool:

@@ -223,6 +223,11 @@ def main():
     ap.add_argument("--seed", type=int, default=61)
     ap.add_argument("--min-agreement", type=float, default=0.995,
                     help="top-1 agreement gate (0.995 = the ±0.5% target)")
+    ap.add_argument("--int8", action="store_true",
+                    help="also RUN the int8 quantized tier (models/quant.py)"
+                         " on the same bins and gate ITS top-1 agreement "
+                         "against the reference — the deployment-accuracy "
+                         "evidence for RUN --precision int8")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -300,6 +305,25 @@ def main():
     print(json.dumps(report, indent=2))
     print("PARITY:", "PASS" if ok else "FAIL",
           f"(gate: top-1 agreement >= {args.min_agreement})")
+
+    if args.int8:
+        # the quantized tier against the SAME reference results: scores
+        # shift at the ~1e-2 level by design (models/quant.py), so the
+        # evidence that matters is top-1 agreement through the full CLI
+        run_q = os.path.join(args.outdir, "run_int8")
+        sh(py, "-m", "ifcb_classifier_tpu", "--batch", args.batch,
+           "--precision", "int8",
+           "RUN", args.bins, ckpt, "parity", "--type", "bin",
+           "--outdir", run_q, "--clobber")
+        report_q, ok_q = compare(collect_results(run_q),
+                                 collect_results(ref_dir),
+                                 args.min_agreement)
+        print("\n=== INT8 TIER vs REFERENCE ===")
+        print(json.dumps(report_q, indent=2))
+        print("INT8 PARITY:", "PASS" if ok_q else "FAIL",
+              f"(gate: top-1 agreement >= {args.min_agreement})")
+        ok = ok and ok_q
+
     sys.exit(0 if ok else 1)
 
 

@@ -238,9 +238,14 @@ def main():
                                                copts=copts,
                                                precision=args.precision)
             tag = " (folded)" if did_fold else ""
+            # int8 convs run the MXU at 2x the bf16 rate (v5e: 394 vs 197
+            # TOPS) and XLA's flop count is precision-blind — double the
+            # FLOP peak so the MXU bound (and MFU) are honest for int8
+            ipeaks = ((peaks[0] * 2, peaks[1])
+                      if args.precision == "int8" else peaks)
             results.append(report(f"{m}@{size} b{args.batch} "
                                   f"{args.precision} infer{tag}", args.batch,
-                                  f, nb, t, peaks))
+                                  f, nb, t, ipeaks))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(dict(chip=kind, peak_flops=peaks[0],

@@ -5,6 +5,14 @@ EXPORT: checkpoint → serialized StableHLO artifact (jax.export) + newline-
         delimited .classes file (the reference's .onnx + .classes contract,
         neuston_onnx.py:44-65). Supports fixed or dynamic ("poly") batch and
         fp32/bf16 ("--half" analog).
+        `--format onnx` instead emits a GENUINE `.onnx` ModelProto with the
+        reference's exact artifact contract (input 'input' NCHW float,
+        output 'output' logits, dynamic batch axis unless --batchsize,
+        opset 12 default, sidecar `.classes`; neuston_onnx.py:44-65) so
+        existing onnxruntime deployments consume our trained models with no
+        pipeline change: weights round-trip through the first-party torch
+        zoo (models/torch_zoo.py) and torch.onnx traces it — the same
+        exporter machinery the reference used.
 RUN:    artifact (or raw checkpoint) over an image folder/.txt/single image
         → softmax → argmax + labels printed (neuston_onnx.py:68-107), but
         batched via the canvas pipeline instead of one giant array
@@ -167,6 +175,101 @@ def export_model(ckpt_path: str, output: str | None = None,
     return output
 
 
+def _patch_torch_onnx_serializer():
+    """Allow `torch.onnx.export` without the `onnx` pip package.
+
+    The legacy (TorchScript) exporter builds and serializes the ModelProto
+    entirely in torch's C++ — the only hard `import onnx` on the path is
+    `_add_onnxscript_fn`, a post-pass that splices onnxscript custom-op
+    FunctionProtos into the model and is a no-op for graphs made of
+    standard ONNX ops (every model in our zoo). When onnx is absent, patch
+    that pass to identity; when it's installed (typical deployment boxes),
+    do nothing."""
+    try:
+        import onnx  # noqa: F401
+        return
+    except ImportError:
+        pass
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils as _opu)
+        _opu._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+    except Exception as e:  # torch layout changed: surface the real fix
+        raise RuntimeError(
+            "torch.onnx needs the `onnx` package on this torch version "
+            "(the no-onnx compatibility patch no longer applies): "
+            f"{e}") from e
+
+
+def export_onnx(ckpt_path: str, output: str | None = None,
+                batchsize: int = 0, half: bool = False, opset: int = 12,
+                device: str = "cpu"):
+    """checkpoint → genuine `.onnx` + `.classes`, the reference's exact
+    deployment artifact (neuston_onnx.py:17-65: eval+freeze, optional
+    --half, dummy input batch 10 when dynamic, opset 12, input/output
+    names, do_constant_folding).
+
+    The traced module is models/torch_zoo.py's torch twin of the flax
+    model, filled from the checkpoint via the lossless flax→torch port
+    (models/torch_port.py export_state_dict); logits parity between the two
+    is pinned by tests/test_torch_parity.py. The graph is exported
+    UNFOLDED (BN nodes present, like the reference's) — onnxruntime fuses
+    conv+BN itself at session build."""
+    import torch
+
+    from .models import input_size_for
+    from .models.torch_zoo import build_torch_model, load_flax_weights
+    from .train.checkpoint import load_checkpoint
+
+    params, batch_stats, hparams = load_checkpoint(ckpt_path)
+    classes = hparams["classes"]
+    family = hparams["MODEL"]
+    # pretrained inception carries transform_input=True into the artifact
+    # (torchvision factory rule; mirrored by InferenceEngine + StableHLO
+    # export above)
+    model = build_torch_model(
+        family, len(classes),
+        transform_input=(family == "inception_v3"
+                         and bool(hparams.get("pretrained"))))
+    load_flax_weights(model, family, params, batch_stats)
+    model.eval()
+    if device != "cpu":
+        model.to(device)
+    if half:
+        model.half()
+
+    size = int(hparams.get("resize") or input_size_for(family))
+    dummy_batch = batchsize if batchsize else 10  # neuston_onnx.py:37
+    dummy = torch.randn(dummy_batch, 3, size, size, device=device)
+    if half:
+        dummy = dummy.half()
+    dynamic_axes = (None if batchsize
+                    else {"input": {0: "batch_size"},
+                          "output": {0: "batch_size"}})
+
+    if output:
+        os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
+    else:
+        output = ckpt_path.replace(".ptl", "").replace(".ckpt", "") + ".onnx"
+        if half:
+            output = output.replace(".onnx", ".FP16.onnx")
+
+    _patch_torch_onnx_serializer()
+    with torch.no_grad():
+        torch.onnx.export(model, dummy, output,
+                          export_params=True, opset_version=opset,
+                          do_constant_folding=True,
+                          input_names=["input"], output_names=["output"],
+                          dynamic_axes=dynamic_axes, dynamo=False)
+    print("EXPORTED:", output)
+
+    classes_file = output.replace(".onnx", ".classes")
+    with open(classes_file, "w") as f:
+        f.write("\n".join(classes))
+    print("EXPORTED:", classes_file)
+    return output
+
+
 def run_exported(model_path: str, src: str, classfile: str | None = None,
                  batch_size: int = 108):
     """Run a serialized .stablehlo EXPORT artifact over images.
@@ -250,6 +353,19 @@ def main_cli(argv=None):
                      help="Max ROIs/images in the calibration batch")
     exp.add_argument("--batchsize", default=0, type=int,
                      help="Fixed batch size; default 0 = dynamic batch")
+    exp.add_argument("--format", choices=["stablehlo", "onnx"],
+                     default="stablehlo",
+                     help="Artifact format: stablehlo (TPU-native, the "
+                          "default) or onnx (a genuine .onnx ModelProto "
+                          "with the reference's artifact contract, for "
+                          "existing onnxruntime deployments)")
+    exp.add_argument("--opset", default=12, type=int,
+                     help="With --format onnx: ONNX opset version "
+                          "(reference default 12, neuston_onnx.py:115)")
+    exp.add_argument("--device", default="cpu", choices=("cpu", "cuda"),
+                     help="With --format onnx: device to trace the export "
+                          "on (reference surface, neuston_onnx.py:114); "
+                          "cpu is correct everywhere")
     exp.add_argument("--output", default=None)
 
     run = sub.add_parser("RUN", help="Run an exported model")
@@ -260,10 +376,19 @@ def main_cli(argv=None):
 
     args = parser.parse_args(argv)
     if args.cmd_mode == "EXPORT":
-        export_model(args.MODEL, args.output, args.batchsize,
-                     args.half or args.precision == "bf16",
-                     precision=args.precision, calib=args.calib,
-                     calib_count=args.calib_count)
+        if args.format == "onnx":
+            if args.precision == "int8":
+                parser.error("--precision int8 is a StableHLO-artifact "
+                             "feature; ONNX export emits the reference's "
+                             "fp32/fp16 graph (use --half)")
+            export_onnx(args.MODEL, args.output, args.batchsize,
+                        args.half or args.precision == "bf16",
+                        opset=args.opset, device=args.device)
+        else:
+            export_model(args.MODEL, args.output, args.batchsize,
+                         args.half or args.precision == "bf16",
+                         precision=args.precision, calib=args.calib,
+                         calib_count=args.calib_count)
     elif args.cmd_mode == "RUN":
         run_exported(args.MODEL, args.SRC, args.classfile, args.batch_size)
     else:

@@ -1,0 +1,282 @@
+"""Genuine `.onnx` EXPORT (export.py:export_onnx): the reference's
+deployment artifact contract (neuston_onnx.py:17-65) — input 'input' NCHW
+with a dynamic batch axis unless --batchsize, output 'output' logits,
+opset 12, sidecar .classes — produced from OUR checkpoints via the
+flax→torch weight round-trip.
+
+No `onnx` package exists in this environment (that's the point: export
+works without it), so validation is a minimal first-party protobuf-wire
+walker over the ModelProto plus numeric parity of the traced torch module
+against the flax model (the graph is whatever torch traces from that
+module, the same exporter machinery the reference used)."""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire-format reader (no deps). ONNX field numbers from
+# onnx.proto: ModelProto{1:ir_version, 7:graph, 8:opset_import},
+# OperatorSetId{1:domain, 2:version}, GraphProto{1:node, 5:initializer,
+# 11:input, 12:output}, NodeProto{1:input, 2:output, 4:op_type},
+# ValueInfo{1:name, 2:type}, Type{1:tensor_type}, Tensor{1:elem_type,
+# 2:shape}, Shape{1:dim}, Dim{1:dim_value, 2:dim_param},
+# TensorProto{1:dims, 2:data_type, 8:name}.
+
+def _fields(buf):
+    """Yield (field_number, wire_type, value) triples from a proto buffer."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val, i = _varint(buf, i)
+        elif wt == 1:
+            val = struct.unpack_from("<q", buf, i)[0]; i += 8
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            val = buf[i:i + ln]; i += ln
+        elif wt == 5:
+            val = struct.unpack_from("<i", buf, i)[0]; i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _varint(buf, i):
+    shift = result = 0
+    while True:
+        b = buf[i]; i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _group(buf):
+    out = {}
+    for field, _, val in _fields(buf):
+        out.setdefault(field, []).append(val)
+    return out
+
+
+def read_onnx(path):
+    """ModelProto → dict(ir_version, opset, ops, inputs, outputs,
+    initializers). inputs/outputs are (name, elem_type, dims) with dims as
+    ints (dim_value) or strings (dim_param)."""
+    model = _group(open(path, "rb").read())
+    out = {"ir_version": model[1][0]}
+    dom = {}
+    for op in model.get(8, []):
+        g = _group(op)
+        dom[g.get(1, [b""])[0].decode()] = g.get(2, [0])[0]
+    out["opset"] = dom.get("", 0)
+    graph = _group(model[7][0])
+    out["ops"] = [_group(nd).get(4, [b""])[0].decode()
+                  for nd in graph.get(1, [])]
+    out["initializers"] = [_group(t).get(8, [b""])[0].decode()
+                           for t in graph.get(5, [])]
+
+    def vinfo(b):
+        g = _group(b)
+        name = g.get(1, [b""])[0].decode()
+        ttype = _group(_group(g[2][0])[1][0])  # type.tensor_type
+        elem = ttype.get(1, [0])[0]
+        dims = []
+        if 2 in ttype:
+            for d in _group(ttype[2][0]).get(1, []):
+                dg = _group(d)
+                dims.append(dg[2][0].decode() if 2 in dg
+                            else dg.get(1, [0])[0])
+        return name, elem, dims
+
+    out["inputs"] = [vinfo(b) for b in graph.get(11, [])]
+    out["outputs"] = [vinfo(b) for b in graph.get(12, [])]
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    """Tiny trained-shaped resnet18 checkpoint (randomized params)."""
+    import jax
+
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+    from ifcb_classifier_tpu.train.state import create_train_state
+
+    model = get_namebrand_model("resnet18", 3)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+    p = str(tmp_path_factory.mktemp("onnx") / "m.ptl")
+    save_checkpoint(p, state.params, state.batch_stats,
+                    dict(MODEL="resnet18", classes=["a", "b", "c"],
+                         resize=32, model_id="m", seed=1, img_norm=None,
+                         pretrained=False))
+    return p
+
+
+class TestOnnxArtifact:
+    def test_dynamic_batch_contract(self, ckpt):
+        """Default export: FLOAT 'input' [batch,3,R,R] → 'output'
+        [batch,n_classes], opset 12, Conv/BN/Gemm graph with weights
+        stored as initializers (neuston_onnx.py:44-58)."""
+        from ifcb_classifier_tpu.export import export_onnx
+
+        out = export_onnx(ckpt)
+        assert out.endswith(".onnx") and os.path.getsize(out) > 10_000_000
+        m = read_onnx(out)
+        assert m["opset"] == 12
+        assert {"Conv", "Relu", "MaxPool", "Gemm"} <= set(m["ops"])
+        (iname, ielem, idims), = m["inputs"]
+        assert (iname, ielem) == ("input", 1)  # 1 = FLOAT
+        assert idims == ["batch_size", 3, 32, 32]
+        (oname, oelem, odims), = m["outputs"]
+        assert (oname, oelem) == ("output", 1)
+        assert odims == ["batch_size", 3]
+        # do_constant_folding=True pre-fuses BN into conv weights (the
+        # reference exports with the same flag, neuston_onnx.py:52), so
+        # count fused initializers, not raw tensors
+        assert len(m["initializers"]) > 20  # weights embedded
+        classes = open(out.replace(".onnx", ".classes")).read().splitlines()
+        assert classes == ["a", "b", "c"]
+
+    def test_fixed_batch_and_opset(self, ckpt):
+        from ifcb_classifier_tpu.export import export_onnx
+
+        out = export_onnx(ckpt, batchsize=4, opset=13)
+        m = read_onnx(out)
+        assert m["opset"] == 13
+        assert m["inputs"][0][2] == [4, 3, 32, 32]
+        assert m["outputs"][0][2] == [4, 3]
+
+    def test_half_emits_fp16_artifact(self, ckpt, tmp_path):
+        """--half: fp16 tensors (elem_type 10) and the .FP16.onnx naming
+        (neuston_onnx.py:31-33)."""
+        from ifcb_classifier_tpu.export import export_onnx
+
+        out = export_onnx(ckpt, output=str(tmp_path / "h.onnx"), half=True)
+        m = read_onnx(out)
+        assert m["inputs"][0][1] == 10  # FLOAT16
+        # fp16 default naming when --output is not given
+        out2 = export_onnx(ckpt, half=True)
+        assert out2.endswith(".FP16.onnx")
+
+    def test_cli_format_onnx(self, ckpt):
+        from ifcb_classifier_tpu.export import main_cli
+
+        main_cli(["EXPORT", ckpt, "--format", "onnx"])
+        assert os.path.isfile(ckpt.replace(".ptl", ".onnx"))
+
+    def test_cli_rejects_int8_onnx(self, ckpt):
+        from ifcb_classifier_tpu.export import main_cli
+
+        with pytest.raises(SystemExit):
+            main_cli(["EXPORT", ckpt, "--format", "onnx",
+                      "--precision", "int8"])
+
+
+class TestTracedGraphParity:
+    def test_torch_twin_matches_flax_for_bottleneck_family(self):
+        """The exporter's fidelity argument: the traced torch module
+        produces the flax model's logits. Exercised here on resnet50 —
+        the Bottleneck path no other parity test covers."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import (build_torch_model,
+                                                          load_flax_weights)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("resnet50", 4)
+        state, _ = create_train_state(model, jax.random.PRNGKey(1), 64)
+        tm = build_torch_model("resnet50", 4)
+        load_flax_weights(tm, "resnet50", state.params, state.batch_stats)
+        tm.eval()
+        x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        f = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False))
+        assert float(np.abs(t - f).max()) < 2e-4
+
+    def test_torch_twin_matches_flax_for_vgg_bn(self):
+        """vgg*_bn BN-indexed features numbering through the port."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import (build_torch_model,
+                                                          load_flax_weights)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        # 224: vgg's adaptive 7x7 pool needs the full torchvision geometry
+        model = get_namebrand_model("vgg11_bn", 3)
+        state, _ = create_train_state(model, jax.random.PRNGKey(2), 224)
+        tm = build_torch_model("vgg11_bn", 3)
+        load_flax_weights(tm, "vgg11_bn", state.params, state.batch_stats)
+        tm.eval()
+        x = np.random.RandomState(2).rand(2, 224, 224, 3).astype(np.float32)
+        with torch.no_grad():
+            t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        f = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False))
+        assert float(np.abs(t - f).max()) < 2e-4
+
+    def test_load_flax_weights_rejects_family_mismatch(self):
+        import jax
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import (build_torch_model,
+                                                          load_flax_weights)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("resnet18", 3)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        tm = build_torch_model("resnet34", 3)
+        with pytest.raises((ValueError, RuntimeError)):
+            load_flax_weights(tm, "resnet18", state.params,
+                              state.batch_stats)
+
+
+class TestInceptionOnnx:
+    def test_flagship_exports_with_transform_input(self, tmp_path):
+        """inception_v3 with pretrained=True: the ONNX graph must open
+        with the transform_input channel renormalization (torchvision
+        factory rule) before the stem conv — Mul/Add/Concat nodes precede
+        the first Conv."""
+        import jax
+
+        from ifcb_classifier_tpu.export import export_onnx
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("inception_v3", 2, pretrained=True)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 299)
+        p = str(tmp_path / "inc.ptl")
+        save_checkpoint(p, state.params, state.batch_stats,
+                        dict(MODEL="inception_v3", classes=["a", "b"],
+                             resize=299, model_id="inc", seed=1,
+                             img_norm=None, pretrained=True))
+        out = export_onnx(p)
+        m = read_onnx(out)
+        assert m["inputs"][0][2] == ["batch_size", 3, 299, 299]
+        assert m["outputs"][0][2] == ["batch_size", 2]
+        first_conv = m["ops"].index("Conv")
+        prelude = set(m["ops"][:first_conv])
+        assert "Concat" in prelude and ("Mul" in prelude or "Add" in prelude)
+        # single output: eval-mode trace has no aux head (torchvision
+        # contract; neuston_onnx.py:23 exports an .eval() model)
+        assert len(m["outputs"]) == 1

@@ -1,187 +1,12 @@
 """Pure-torch Inception-v3 with EXACT torchvision module names, so its
 state_dict is key-compatible with torchvision's `inception_v3` weights.
 
-Purpose: cross-framework parity testing. tests/test_torch_parity.py builds
-this model with random weights, saves its state_dict, ports it through
-models/torch_port.py into the flax InceptionV3, and asserts both produce the
-same logits — validating the porting path with REAL torch tensors (no
-torchvision/network in this environment) and pinning conv/BN/pool semantics
-of the flax implementation to torch's.
-"""
+Now a shim over the package's first-party torch zoo
+(ifcb_classifier_tpu/models/torch_zoo.py) — the same modules the genuine
+`.onnx` exporter traces — so the cross-framework parity tests
+(tests/test_torch_parity.py, tests/test_train_dynamics_parity.py) pin the
+exporter's forward semantics, not a drifting copy."""
 
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
-
-
-class BasicConv2d(nn.Module):
-    def __init__(self, i, o, **kw):
-        super().__init__()
-        self.conv = nn.Conv2d(i, o, bias=False, **kw)
-        self.bn = nn.BatchNorm2d(o, eps=0.001)
-
-    def forward(self, x):
-        return torch.relu(self.bn(self.conv(x)))
-
-
-class InceptionA(nn.Module):
-    def __init__(self, i, pool_features):
-        super().__init__()
-        self.branch1x1 = BasicConv2d(i, 64, kernel_size=1)
-        self.branch5x5_1 = BasicConv2d(i, 48, kernel_size=1)
-        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
-        self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
-        self.branch_pool = BasicConv2d(i, pool_features, kernel_size=1)
-
-    def forward(self, x):
-        p = F.avg_pool2d(x, 3, 1, 1)
-        return torch.cat([
-            self.branch1x1(x),
-            self.branch5x5_2(self.branch5x5_1(x)),
-            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
-            self.branch_pool(p)], 1)
-
-
-class InceptionB(nn.Module):
-    def __init__(self, i):
-        super().__init__()
-        self.branch3x3 = BasicConv2d(i, 384, kernel_size=3, stride=2)
-        self.branch3x3dbl_1 = BasicConv2d(i, 64, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        return torch.cat([
-            self.branch3x3(x),
-            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
-            F.max_pool2d(x, 3, 2)], 1)
-
-
-class InceptionC(nn.Module):
-    def __init__(self, i, c7):
-        super().__init__()
-        self.branch1x1 = BasicConv2d(i, 192, kernel_size=1)
-        self.branch7x7_1 = BasicConv2d(i, c7, kernel_size=1)
-        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_1 = BasicConv2d(i, c7, kernel_size=1)
-        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
-        self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
-
-    def forward(self, x):
-        p = F.avg_pool2d(x, 3, 1, 1)
-        return torch.cat([
-            self.branch1x1(x),
-            self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x))),
-            self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
-                self.branch7x7dbl_2(self.branch7x7dbl_1(x))))),
-            self.branch_pool(p)], 1)
-
-
-class InceptionD(nn.Module):
-    def __init__(self, i):
-        super().__init__()
-        self.branch3x3_1 = BasicConv2d(i, 192, kernel_size=1)
-        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
-        self.branch7x7x3_1 = BasicConv2d(i, 192, kernel_size=1)
-        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        return torch.cat([
-            self.branch3x3_2(self.branch3x3_1(x)),
-            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
-                self.branch7x7x3_1(x)))),
-            F.max_pool2d(x, 3, 2)], 1)
-
-
-class InceptionE(nn.Module):
-    def __init__(self, i):
-        super().__init__()
-        self.branch1x1 = BasicConv2d(i, 320, kernel_size=1)
-        self.branch3x3_1 = BasicConv2d(i, 384, kernel_size=1)
-        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
-        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
-        self.branch3x3dbl_1 = BasicConv2d(i, 448, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
-        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
-        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
-        self.branch_pool = BasicConv2d(i, 192, kernel_size=1)
-
-    def forward(self, x):
-        b3 = self.branch3x3_1(x)
-        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
-        p = F.avg_pool2d(x, 3, 1, 1)
-        return torch.cat([
-            self.branch1x1(x),
-            torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1),
-            torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1),
-            self.branch_pool(p)], 1)
-
-
-class InceptionAux(nn.Module):
-    def __init__(self, i, n):
-        super().__init__()
-        self.conv0 = BasicConv2d(i, 128, kernel_size=1)
-        self.conv1 = BasicConv2d(128, 768, kernel_size=5)
-        self.fc = nn.Linear(768, n)
-
-    def forward(self, x):
-        x = F.avg_pool2d(x, 5, 3)
-        x = self.conv1(self.conv0(x))
-        x = F.adaptive_avg_pool2d(x, 1).flatten(1)
-        return self.fc(x)
-
-
-class Inception3(nn.Module):
-    """torchvision-key-compatible Inception3 (eval-path forward)."""
-
-    def __init__(self, num_classes=50, dropout=0.5, transform_input=False):
-        super().__init__()
-        self.dropout = dropout
-        # torchvision: inception_v3(pretrained=True) forces
-        # transform_input=True — ImageNet-stat channel renormalization
-        # applied inside the model, at train AND eval time
-        self.transform_input = transform_input
-        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
-        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
-        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
-        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
-        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
-        self.Mixed_5b = InceptionA(192, 32)
-        self.Mixed_5c = InceptionA(256, 64)
-        self.Mixed_5d = InceptionA(288, 64)
-        self.Mixed_6a = InceptionB(288)
-        self.Mixed_6b = InceptionC(768, 128)
-        self.Mixed_6c = InceptionC(768, 160)
-        self.Mixed_6d = InceptionC(768, 160)
-        self.Mixed_6e = InceptionC(768, 192)
-        self.AuxLogits = InceptionAux(768, num_classes)
-        self.Mixed_7a = InceptionD(768)
-        self.Mixed_7b = InceptionE(1280)
-        self.Mixed_7c = InceptionE(2048)
-        self.fc = nn.Linear(2048, num_classes)
-
-    def forward(self, x):
-        if self.transform_input:
-            ch0 = x[:, 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
-            ch1 = x[:, 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
-            ch2 = x[:, 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
-            x = torch.cat((ch0, ch1, ch2), 1)
-        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
-        x = F.max_pool2d(x, 3, 2)
-        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
-        x = F.max_pool2d(x, 3, 2)
-        x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
-        x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(
-            self.Mixed_6a(x)))))
-        aux = self.AuxLogits(x) if self.training else None
-        x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
-        x = F.adaptive_avg_pool2d(x, 1).flatten(1)
-        return self.fc(F.dropout(x, self.dropout, self.training)), aux
+from ifcb_classifier_tpu.models.torch_zoo import (  # noqa: F401
+    BasicConv2d, Inception3, InceptionA, InceptionAux, InceptionB,
+    InceptionC, InceptionD, InceptionE)

@@ -1,53 +1,10 @@
-"""Pure-torch ResNet-18 with EXACT torchvision module names (state_dict
-key-compatible), for cross-framework parity testing — see
-tools/torch_inception_tv.py for the rationale."""
+"""Pure-torch ResNet with EXACT torchvision module names (state_dict
+key-compatible) — a shim over ifcb_classifier_tpu/models/torch_zoo.py;
+see tools/torch_inception_tv.py for the rationale."""
 
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
-
-
-class BasicBlock(nn.Module):
-    def __init__(self, inplanes, planes, stride=1, downsample=None):
-        super().__init__()
-        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.downsample = downsample
-
-    def forward(self, x):
-        identity = x
-        out = torch.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            identity = self.downsample(x)
-        return torch.relu(out + identity)
+from ifcb_classifier_tpu.models.torch_zoo import (  # noqa: F401
+    BasicBlock, Bottleneck, ResNet)
 
 
-class ResNet18(nn.Module):
-    def __init__(self, num_classes=5):
-        super().__init__()
-        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
-        inplanes = 64
-        for stage, planes in enumerate([64, 128, 256, 512]):
-            blocks = []
-            for i in range(2):
-                stride = 2 if (stage > 0 and i == 0) else 1
-                ds = None
-                if stride != 1 or inplanes != planes:
-                    ds = nn.Sequential(
-                        nn.Conv2d(inplanes, planes, 1, stride, bias=False),
-                        nn.BatchNorm2d(planes))
-                blocks.append(BasicBlock(inplanes, planes, stride, ds))
-                inplanes = planes
-            setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
-        self.fc = nn.Linear(512, num_classes)
-
-    def forward(self, x):
-        x = torch.relu(self.bn1(self.conv1(x)))
-        x = F.max_pool2d(x, 3, 2, 1)
-        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
-        x = F.adaptive_avg_pool2d(x, 1).flatten(1)
-        return self.fc(x)
+def ResNet18(num_classes=5):
+    return ResNet("resnet18", num_classes)

@@ -8,7 +8,7 @@ Additions (documented; all optional so reference invocations work verbatim):
   --weights PATH               ported torchvision state_dict for --pretrained
   --profile N                  capture a jax.profiler trace of N train steps
   --nan-check                  enable jax debug_nans
-  --export                     alias of --onnx emitting a StableHLO artifact
+  --export                     like --onnx but emitting a StableHLO artifact
 """
 
 from __future__ import annotations
@@ -155,9 +155,13 @@ def argparse_nn_train(train):
                      help="Specify a human-readable yaml filename. "
                           "Default is args.yml")
     out.add_argument("--onnx", action="store_true",
-                     help="Additionally output a deployable exported version "
-                          "of the model (StableHLO artifact + .classes file)")
-    out.add_argument("--export", action="store_true", help=argparse.SUPPRESS)
+                     help="Additionally output an onnx version of the model "
+                          "(genuine .onnx + .classes, the reference's "
+                          "inline-export artifact)")
+    out.add_argument("--export", action="store_true",
+                     help="Additionally output a deployable TPU-native "
+                          "exported version of the model (StableHLO "
+                          "artifact + .classes file)")
     out.add_argument("--results", dest="result_files",
                      metavar=("FNAME", "SERIES"), nargs="+", action="append",
                      help="FNAME: validation-results filename or pattern "

@@ -492,10 +492,14 @@ def do_training(args):
         from ..utils.config import dump_args_yml
         dump_args_yml(args, os.path.join(args.outdir, args.args_log))
 
-    # Export (the reference's inline --onnx path, neuston_net.py:131-160;
-    # here a StableHLO artifact + .classes file)
-    if (getattr(args, "onnx", False) or getattr(args, "export", False)) \
-            and best_ckpt_path:
+    # Inline export (the reference's TRAIN --onnx, neuston_net.py:131-160):
+    # --onnx emits the genuine {model_id}.onnx + .classes the reference's
+    # flag produced; --export emits the TPU-native StableHLO artifact
+    if getattr(args, "onnx", False) and best_ckpt_path:
+        from ..export import export_onnx
+        export_onnx(output_path,
+                    os.path.join(args.outdir, args.model_id + ".onnx"))
+    if getattr(args, "export", False) and best_ckpt_path:
         from ..export import export_model
         export_model(output_path,
                      os.path.join(args.outdir, args.model_id + ".stablehlo"))

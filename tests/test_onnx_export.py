@@ -234,6 +234,58 @@ class TestTracedGraphParity:
             jnp.asarray(x), train=False))
         assert float(np.abs(t - f).max()) < 2e-4
 
+    def test_torch_twin_matches_flax_for_efficientnet_b3(self):
+        """b1-b7 scale the zoo via round_filters/round_repeats; b3 checks
+        the generalized torch twin agrees with flax on the rounded channel
+        plan (width 1.2, depth 1.4) — the old per-variant b0 module never
+        exercised this."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import (build_torch_model,
+                                                          load_flax_weights)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("efficientnet_b3", 3)
+        state, _ = create_train_state(model, jax.random.PRNGKey(3), 64)
+        tm = build_torch_model("efficientnet_b3", 3)
+        load_flax_weights(tm, "efficientnet_b3", state.params,
+                          state.batch_stats)
+        tm.eval()
+        x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        f = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False))
+        assert float(np.abs(t - f).max()) < 5e-4
+
+    def test_torch_twin_matches_flax_for_densenet169(self):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import (build_torch_model,
+                                                          load_flax_weights)
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("densenet169", 3)
+        state, _ = create_train_state(model, jax.random.PRNGKey(4), 64)
+        tm = build_torch_model("densenet169", 3)
+        load_flax_weights(tm, "densenet169", state.params,
+                          state.batch_stats)
+        tm.eval()
+        x = np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        f = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False))
+        assert float(np.abs(t - f).max()) < 2e-4
+
     def test_load_flax_weights_rejects_family_mismatch(self):
         import jax
 

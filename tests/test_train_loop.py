@@ -37,7 +37,7 @@ def trained(tmp_path_factory):
                                      {"a": 10, "b": 10, "c": 10},
                                      size=(36, 28))
     outdir = str(root / "out")
-    args = make_args(src, outdir)
+    args = make_args(src, outdir, onnx=True, export=True)
     from ifcb_classifier_tpu.train.loop import do_training
     ckpt = do_training(args)
     os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
@@ -56,6 +56,16 @@ class TestTrainArtifacts:
         assert hparams["seed"] == 3
         assert hparams["model_id"] == "tt"
         assert "fc" in params
+
+    def test_inline_export_artifacts(self, trained):
+        """TRAIN --onnx emits the reference's {model_id}.onnx (+ .classes,
+        neuston_net.py:131-160); --export emits the StableHLO artifact."""
+        args, outdir, ckpt = trained
+        onnx = os.path.join(outdir, "tt.onnx")
+        assert os.path.isfile(onnx) and os.path.getsize(onnx) > 1_000_000
+        assert (open(os.path.join(outdir, "tt.classes")).read().splitlines()
+                == ["a", "b", "c"])
+        assert os.path.isfile(os.path.join(outdir, "tt.stablehlo"))
 
     def test_epochs_csv(self, trained):
         _, outdir, _ = trained

@@ -121,15 +121,12 @@ def compare(ours: dict, ref: dict, min_agreement: float):
 
 
 def _torch_twin(model_name, n_classes, transform_input=False):
-    """The pure-torch (torchvision-layout) twin for a model family."""
-    if model_name == "inception_v3":
-        from torch_inception_tv import Inception3
-        return Inception3(num_classes=n_classes,
-                          transform_input=transform_input)
-    if model_name == "resnet18":
-        from torch_resnet_tv import ResNet18
-        return ResNet18(num_classes=n_classes)
-    raise ValueError(f"no torch twin wired for {model_name!r}")
+    """The pure-torch (torchvision-layout) twin for a model family — every
+    zoo family, via the first-party torch zoo the .onnx exporter traces
+    (models/torch_zoo.py)."""
+    from ifcb_classifier_tpu.models.torch_zoo import build_torch_model
+    return build_torch_model(model_name, n_classes,
+                             transform_input=transform_input)
 
 
 def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):

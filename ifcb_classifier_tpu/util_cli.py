@@ -125,8 +125,29 @@ def calc_img_norm(args):
 
 
 def port_weights(args):
-    """Translate a torch state_dict (.pth) into an .npz of torch-keyed numpy
-    arrays usable by TRAIN --weights (models/torch_port.py)."""
+    """Both porting directions, auto-detected from the input format:
+
+    * torch state_dict (.pth / Lightning .ptl zip / .npz) → .npz of
+      torch-keyed numpy arrays usable by TRAIN --weights
+      (models/torch_port.py) — torchvision's download role.
+    * OUR msgpack checkpoint → torchvision-keyed torch .pth
+      (models/torch_port.py export_state_dict), handing trained weights
+      back to torch/torchvision users."""
+    with open(args.STATE_DICT, "rb") as f:
+        head = f.read(2)
+    if head != b"PK" and not args.STATE_DICT.endswith(".npz"):
+        # not a zip (torch/npz): our msgpack checkpoint — reverse port
+        from .models.torch_port import export_state_dict
+        from .train.checkpoint import load_checkpoint
+        params, stats, hparams = load_checkpoint(args.STATE_DICT)
+        sd = export_state_dict(hparams["MODEL"], params, stats)
+        out = args.outfile or (os.path.splitext(args.STATE_DICT)[0] + ".pth")
+        import torch
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, out)
+        print("PORTED {} tensors (checkpoint -> torch state_dict) -> {}"
+              .format(len(sd), out))
+        return
     from .models.torch_port import _load_state_dict
     sd = _load_state_dict(args.STATE_DICT)
     out = args.outfile or (os.path.splitext(args.STATE_DICT)[0] + ".npz")
@@ -177,7 +198,9 @@ def argparse_util():
 
     pw = sub.add_parser("PORT_WEIGHTS",
                         help="Convert a torch state_dict .pth to .npz for "
-                             "TRAIN --weights")
+                             "TRAIN --weights — or, given one of OUR "
+                             "checkpoints, the reverse: a torchvision-"
+                             "keyed .pth for torch users")
     pw.add_argument("STATE_DICT")
     pw.add_argument("-o", "--outfile")
     return parser

@@ -107,6 +107,44 @@ class TestPortWeightsCLI:
         assert set(out.files) == {"conv1.weight", "bn1.weight"}
         assert out["conv1.weight"].shape == (4, 3, 3, 3)
 
+    def test_port_weights_reverse_to_torch(self, tmp_path):
+        """Given OUR checkpoint, PORT_WEIGHTS hands back a torchvision-
+        keyed .pth whose torch-zoo twin reproduces the flax logits."""
+        import argparse
+
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.models.torch_zoo import build_torch_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+        from ifcb_classifier_tpu.util_cli import port_weights
+
+        model = get_namebrand_model("resnet18", 3)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        ckpt = str(tmp_path / "m.ptl")
+        save_checkpoint(ckpt, state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b", "c"],
+                             resize=32, model_id="m", seed=1,
+                             img_norm=None))
+        port_weights(argparse.Namespace(STATE_DICT=ckpt, outfile=None))
+        pth = str(tmp_path / "m.pth")
+        sd = torch.load(pth, map_location="cpu", weights_only=True)
+        tm = build_torch_model("resnet18", 3)
+        missing, unexpected = tm.load_state_dict(sd, strict=False)
+        assert not unexpected
+        assert all(k.endswith("num_batches_tracked") for k in missing)
+        tm.eval()
+        x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+        with torch.no_grad():
+            t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        f = np.asarray(model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x), train=False))
+        assert float(np.abs(t - f).max()) < 2e-4
+
 
 class TestImgNormJointStd:
     def test_matches_reference_batch_std_formula(self, tmp_path):

@@ -143,7 +143,9 @@ def port_weights(args):
         sd = export_state_dict(hparams["MODEL"], params, stats)
         out = args.outfile or (os.path.splitext(args.STATE_DICT)[0] + ".pth")
         import torch
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+        # .copy(): export_state_dict returns transposed (non-writable)
+        # views; torch.from_numpy on those warns about undefined behavior
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
                     for k, v in sd.items()}, out)
         print("PORTED {} tensors (checkpoint -> torch state_dict) -> {}"
               .format(len(sd), out))

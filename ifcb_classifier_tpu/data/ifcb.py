@@ -212,14 +212,26 @@ class Bin:
         return [int(i) + 1 for i in np.nonzero(nz)[0]]
 
     def image(self, target_number: int) -> np.ndarray:
-        """2-D uint8 grayscale image of one target (zero-copy view)."""
+        """2-D uint8 grayscale image of one target (zero-copy view).
+
+        Byte-range validated against the .roi file: a corrupt/truncated bin
+        must fail LOUDLY here (and get trapped by RUN's per-bin error
+        isolation) — a negative startByte would otherwise wrap via Python
+        negative indexing and, when the wrapped slice length happens to be
+        h*w, silently classify the wrong bytes (same guard the packed
+        predict path applies in infer/runner.py)."""
         adc = self.adc
         row = int(target_number) - 1
         w = int(adc["roiWidth"][row])
         h = int(adc["roiHeight"][row])
         s = int(adc["startByte"][row])
-        if w == 0 or h == 0:
+        if w <= 0 or h <= 0:
             raise KeyError(f"target {target_number} has no image")
+        if s < 0 or s + w * h > self._roi_bytes.size:
+            raise ValueError(
+                f"{self.pid}: target {target_number} byte range "
+                f"[{s}, {s + w * h}) outside the .roi file "
+                f"({self._roi_bytes.size} bytes) — corrupt or truncated bin")
         return self._roi_bytes[s:s + w * h].reshape(h, w)
 
     @cached_property

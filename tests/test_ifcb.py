@@ -181,3 +181,35 @@ class TestAdcEdgeCases:
         open(p, "w").write("1,2,3\n")  # far fewer columns than the schema
         with pytest.raises(Exception):
             parse_adc(p, SCHEMA_VERSION_2)
+
+
+class TestRoiByteRangeGuards:
+    """Bin.image validates ROI byte ranges against the .roi file so corrupt
+    bins fail loudly (trapped per-bin by RUN) instead of wrapping through
+    Python negative indexing into silently-wrong pixels."""
+
+    def test_truncated_roi_file_raises(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        base = write_bin(str(tmp_path), "D20250101T000000_IFCB900",
+                         [make_roi(10, 10, 1)], 2)
+        with open(base + ".roi", "r+b") as f:
+            f.truncate(30)  # 100 bytes promised by the ADC
+        with pytest.raises(ValueError, match="outside the .roi file"):
+            Bin(base + ".adc").images
+
+    def test_negative_startbyte_raises_not_wraps(self, tmp_path):
+        from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2, Bin
+        base = write_bin(str(tmp_path), "D20250102T000000_IFCB900",
+                         [make_roi(10, 10, 2)], 2)
+        # rewrite the ADC with startByte=-60: the wrapped slice
+        # roi_bytes[-60:40] would be empty here, but for a longer file it
+        # can be exactly h*w long and silently wrong — must raise either way
+        cols = {c: i for i, c in enumerate(ADC_COLUMNS_V2)}
+        row = ["0"] * len(ADC_COLUMNS_V2)
+        row[cols["trigger"]] = "1"
+        row[cols["roiWidth"]] = "10"
+        row[cols["roiHeight"]] = "10"
+        row[cols["startByte"]] = "-60"
+        open(base + ".adc", "w").write(",".join(row) + "\n")
+        with pytest.raises(ValueError, match="outside the .roi file"):
+            Bin(base + ".adc").images

@@ -200,6 +200,11 @@ def main():
                          "the full preprocessing/aux-loss chain is covered "
                          "end-to-end (neuston_data.py:342-371 + "
                          "neuston_models.py:70-78)")
+    ap.add_argument("--demo-model", default=None, metavar="FAMILY",
+                    help="--demo with an arbitrary zoo family (e.g. "
+                         "resnet50, whose int8-resident graph changes the "
+                         "shortcut quantization point — gate it with "
+                         "--int8)")
     ap.add_argument("--weights", help="torch state_dict .pth/.npz")
     ap.add_argument("--model", default="inception_v3")
     ap.add_argument("--train-src", help="folder-per-class training dir")
@@ -230,8 +235,9 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     py = sys.executable
 
-    if args.demo or args.demo_flagship:
-        args.model = "inception_v3" if args.demo_flagship else "resnet18"
+    if args.demo or args.demo_flagship or args.demo_model:
+        args.model = ("inception_v3" if args.demo_flagship
+                      else args.demo_model or "resnet18")
         args.emax, args.batch = 2, 16
         corpus = os.path.join(args.outdir, "corpus")
         if not os.path.isdir(corpus):
@@ -287,7 +293,7 @@ def main():
 
     # 4) reference results: supplied, or produced by pure-torch in demo mode
     ref_dir = args.reference_results
-    if args.demo or args.demo_flagship:
+    if args.demo or args.demo_flagship or args.demo_model:
         ref_dir = os.path.join(args.outdir, "reference")
         demo_reference_results(ckpt, args.bins + os.sep, ref_dir,
                                "2026-01-01T00:00:00+00:00")

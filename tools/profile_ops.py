@@ -54,6 +54,7 @@ def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
             for i in range(n):
                 state, loss = compiled(state, b, jax.random.PRNGKey(i))
             _ = float(loss)
+        run.hlo_text = compiled.as_text
         return run
 
     model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
@@ -97,6 +98,7 @@ def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
         for _ in range(n):
             p, acc = compiled(params, stats, x, acc)
         _ = float(acc)
+    run.hlo_text = compiled.as_text
     return run
 
 
@@ -151,6 +153,50 @@ def top_ops(trace_dir, k):
     return agg.most_common(k), total
 
 
+def categorize(ops, hlo_text):
+    """Cross-reference profiled fusion names against the optimized HLO to
+    classify device time by WHAT each fusion actually is, not what XLA
+    named it. Round 2's per-op table filed every `convert_reduce_fusion`
+    as a standalone BN-stat reduction; the HLO shows most of them are
+    kOutput CONVOLUTION fusions (window_config/convolution_algorithm_config
+    in backend_config) with the stat reductions riding the conv's output
+    epilogue — i.e. XLA already performs the conv+BN-stat fusion a custom
+    kernel would target. This view makes that distinction reproducible."""
+    import re
+    info = {}
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        m = re.match(r"%([\w.\-]+) = ", ls)
+        if not m or m.group(1) in info:
+            continue
+        is_conv = ("window_config" in ls
+                   or "convolution_algorithm_config" in ls)
+        mm = re.search(r'op_name="([^"]+)"', ls)
+        info[m.group(1)] = (is_conv, mm.group(1) if mm else "")
+    cats = collections.Counter()
+    total = 0.0
+    for name, ns in ops:
+        total += ns
+        key = name[1:].split(" =")[0] if name.startswith("%") else name
+        is_conv, op_name = info.get(key, (None, ""))
+        if is_conv is None:
+            cat = "unmatched"
+        elif is_conv:
+            # jvp-transpose scopes mark backward-pass convs (dgrad/wgrad)
+            cat = ("conv fusion (bwd)" if "transpose(jvp" in op_name
+                   else "conv fusion (fwd)")
+        elif "select-and-scatter" in key:
+            cat = "maxpool bwd (SelectAndScatter)"
+        elif key.startswith(("reduce", "convert_reduce")):
+            cat = "standalone reduction"
+        elif "copy" in key:
+            cat = "copies/layout"
+        else:
+            cat = "elementwise/other fusion"
+        cats[cat] += ns
+    return cats, total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["train", "infer"], default="infer")
@@ -162,6 +208,10 @@ def main():
                     choices=["full", "convs"])
     ap.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
                     help="precision of the infer graph (int8 = quant tier)")
+    ap.add_argument("--categories", action="store_true",
+                    help="also aggregate device time by fusion KIND "
+                         "(conv fwd/bwd, maxpool bwd, reductions, copies) "
+                         "via the optimized HLO's backend configs")
     args = ap.parse_args()
 
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
@@ -181,6 +231,14 @@ def main():
         print(f"{ns / 1e6 / args.iters:8.3f} ms/step  "
               f"{ns / total * 100:5.1f}%  (cum {cum / total * 100:5.1f}%)  "
               f"{name[:110]}")
+    if args.categories:
+        all_ops, _ = top_ops(outdir, 10 ** 9)
+        cats, ctotal = categorize(all_ops, run.hlo_text())
+        print("\nby category (profiled fusions cross-referenced against "
+              "the optimized HLO):")
+        for cat, ns in cats.most_common():
+            print(f"{ns / 1e6 / args.iters:8.3f} ms/step  "
+                  f"{ns / ctotal * 100:5.1f}%  {cat}")
     print(f"\ntrace dir kept: {outdir}")
 
 

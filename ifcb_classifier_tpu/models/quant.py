@@ -46,6 +46,12 @@ _QUANT_KEY = "__quant__"
 _QUANT_FAMILIES = ("inception_v3", "resnet18", "resnet34", "resnet50",
                    "resnet101", "resnet152", "vgg11_bn", "vgg13_bn",
                    "vgg16_bn", "vgg19_bn")
+# densenet exclusion is MEASURED (tools/bench_quant_probe.py): the
+# per-layer BN->relu->conv pattern at densenet121's dominant shapes is
+# 1.05x weighted int8-resident vs bf16, with the most frequent class
+# (blk3 1x1 640->128 @14², x24) 0.82x — narrow-output 1x1s don't pay for
+# their quantize passes. (It cannot BN-fold anyway: BN precedes each conv
+# behind a relu, so int8 would also carry the BN elementwise prologue.)
 # efficientnet exclusion is MEASURED, not just reasoned: quantizing its
 # non-grouped (1x1) convs via the interceptor clocked 11.33 vs 10.64
 # ms/step bf16-folded (b0, b256 — 6.5% SLOWER): the quantize/dequantize

@@ -193,6 +193,16 @@ def argparse_nn_train(train):
                        help="Set a learning rate. Default is 0.001")
     optim.add_argument("--weight-decay", default=0.0, type=float,
                        help="Weight-decay coefficient. Default is 0 (off)")
+    optim.add_argument("--accum", default=1, type=int, metavar="N",
+                       help="Accumulate gradients over N sequential "
+                            "micro-batches of --batch/N rows per optimizer "
+                            "step: the update is the exact full-batch "
+                            "masked-mean gradient while activation memory "
+                            "scales with the micro-batch (train with an "
+                            "effective batch far beyond HBM; pairs with or "
+                            "replaces --remat). BatchNorm normalizes per "
+                            "micro-batch, same as a torch accumulation "
+                            "loop. Default 1 (off)")
     optim.add_argument("--class-norm", action="store_true",
                        help="Bias the training loss to emphasize smaller "
                             "classes: inverse-frequency class weights "

@@ -131,6 +131,11 @@ def do_training(args):
     tr_items, tr_labels = training_dataset.images, training_dataset.targets
     va_items, va_labels = validation_dataset.images, validation_dataset.targets
     tr_real, va_real = len(tr_items), len(va_items)
+    accum = max(1, int(getattr(args, "accum", 1) or 1))
+    if args.batch_size % accum:
+        args.batch_size = -(-args.batch_size // accum) * accum
+        print(f"Rounded batch up to {args.batch_size} "
+              f"(divisible by --accum {accum})")
     local_batch = args.batch_size
     if n_proc > 1:
         from ..parallel.distributed import shard_manifest
@@ -191,7 +196,8 @@ def do_training(args):
 
     raw_train_step = make_train_step(model, tx,
                                      remat=getattr(args, "remat", False),
-                                     class_weights=class_weights)
+                                     class_weights=class_weights,
+                                     accum=accum)
     raw_eval_step = make_eval_step(model)
 
     def fused_train(state, raw, rng):
@@ -231,10 +237,14 @@ def do_training(args):
                 f"--mesh {n_data}x{n_model}: the data axis must be a "
                 f"multiple of the process count ({n_proc}) in multi-host "
                 "runs")
-        if args.batch_size % n_data:
-            args.batch_size = -(-args.batch_size // n_data) * n_data
+        # each micro-batch (batch/accum rows) must itself shard evenly
+        # over the 'data' axis, so the divisor is n_data*accum
+        div = n_data * accum
+        if args.batch_size % div:
+            args.batch_size = -(-args.batch_size // div) * div
             print(f"Rounded batch up to {args.batch_size} "
-                  f"(divisible by {n_data} data-parallel devices)")
+                  f"(divisible by {n_data} data-parallel devices"
+                  f"{f' x --accum {accum}' if accum > 1 else ''})")
         local_batch = args.batch_size // n_proc
         train_loader.batch_size = local_batch
         val_loader.batch_size = local_batch

@@ -126,7 +126,8 @@ def _mxu_and_reductions_saveable(prim, *_, **__):
 
 
 def make_train_step(model, tx, axis_name: str | None = None,
-                    remat: bool | str = False, class_weights=None):
+                    remat: bool | str = False, class_weights=None,
+                    accum: int = 1):
     """One optimizer step: grads (+psum over `axis_name` if data-parallel),
     BN update, optimizer update. Donates the state buffer.
 
@@ -141,16 +142,29 @@ def make_train_step(model, tx, axis_name: str | None = None,
     class_weights: per-class training-loss weights (`--class-norm`); the
     validation loss stays unweighted so best-epoch/early-stop selection
     remains comparable across runs (documented in QUIRKS.md).
+
+    accum > 1 (the `--accum` surface; no reference analog) takes ONE
+    optimizer step per batch but runs the forward/backward over `accum`
+    sequential micro-batches of batch/accum rows under lax.scan, so
+    activation memory scales with the micro-batch while the gradient is
+    EXACTLY the masked-mean gradient of the full batch (micro grads are
+    combined weighted by each micro's valid-row count — or Σw under
+    --class-norm — so short/padded tails don't skew the mean). Matches a
+    torch accumulate-then-step loop bit-for-bit in semantics, including
+    BatchNorm: each micro-batch normalizes by its OWN batch stats and the
+    running stats update sequentially micro-batch by micro-batch — which
+    also means accum=N is NOT numerically identical to accum=1 (same as
+    torch; the effective BN batch is the micro-batch).
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
 
     def train_step(state: TrainState, batch, dropout_rng):
-        def apply_fn(params, images):
+        def apply_fn(params, stats, images, rng):
             return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 images, train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": rng},
                 mutable=["batch_stats"])
 
         if remat == "convs":
@@ -159,13 +173,49 @@ def make_train_step(model, tx, axis_name: str | None = None,
         elif remat:
             apply_fn = jax.checkpoint(apply_fn)
 
-        def compute_loss(params):
-            outputs, mutated = apply_fn(params, batch["images"])
-            loss = loss_fn(outputs, batch["labels"], batch["mask"], cw)
-            return loss, mutated["batch_stats"]
+        def micro_loss(params, stats, mb, rng):
+            outputs, mutated = apply_fn(params, stats, mb["images"], rng)
+            loss = loss_fn(outputs, mb["labels"], mb["mask"], cw)
+            mask = mb["mask"].astype(jnp.float32)
+            denom = (jnp.sum(cw[mb["labels"]] * mask) if cw is not None
+                     else jnp.sum(mask))
+            return loss, (mutated["batch_stats"], denom)
 
-        (loss, new_stats), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        if accum == 1:
+            (loss, (new_stats, _)), grads = grad_fn(
+                state.params, state.batch_stats, batch, dropout_rng)
+        else:
+            b = batch["images"].shape[0]
+            assert b % accum == 0, (b, accum)
+            micro = {k: v.reshape((accum, b // accum) + v.shape[1:])
+                     for k, v in batch.items()}
+            rngs = jax.random.split(dropout_rng, accum)
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+
+            def body(carry, xs):
+                stats, gsum, lsum, dsum = carry
+                mb, rng = xs
+                (loss, (stats, denom)), g = grad_fn(
+                    state.params, stats, mb, rng)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi.astype(jnp.float32) * denom,
+                    gsum, g)
+                return (stats, gsum, lsum + loss * denom,
+                        dsum + denom), None
+
+            (new_stats, gsum, lsum, dsum), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zeros,
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+                (micro, rngs))
+            dsum = jnp.maximum(dsum, 1e-9)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / dsum).astype(p.dtype),
+                gsum, state.params)
+            loss = lsum / dsum
         if axis_name:
             grads = jax.lax.pmean(grads, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)

@@ -113,7 +113,11 @@ def max_pool(x, window, stride, padding=0):
     reduce_window is the fast form on TPU: a strided-slice + elementwise-max
     rewrite (to dodge SelectAndScatter in the gradient) measured 6x SLOWER
     end-to-end (753 vs 1,880 img/s inception@299 b128) because stride-2
-    slices force vector relayouts — see tools/bench_stem.py --layers."""
+    slices force vector relayouts — see tools/bench_stem.py --layers.
+    Keeping this forward and swapping ONLY the VJP (k^2 shifted
+    equality-mask terms, no scatter) was also measured-rejected: the
+    dilation/stride slices in the backward lose 1.6-3x to SelectAndScatter
+    on every inception pool shape (tools/bench_pool_probe.py, round 3)."""
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return lax.reduce_window(x, -jnp.inf, lax.max,
                              (1, window, window, 1), (1, stride, stride, 1), pads)

@@ -182,6 +182,23 @@ class TestAdcEdgeCases:
         with pytest.raises(Exception):
             parse_adc(p, SCHEMA_VERSION_2)
 
+    def test_empty_field_fails_loudly_not_int64min(self, tmp_path):
+        """An EMPTY field is NaN to the pandas fast path; astype(int64)
+        would turn it into INT64_MIN silently — for roiWidth that silently
+        DROPS the ROI (looks like a normal zero-width trigger row). It must
+        raise instead so RUN's per-bin isolation reports the bin."""
+        from ifcb_classifier_tpu.data.ifcb import SCHEMA_VERSION_2, parse_adc
+        for field in ("roiWidth", "startByte"):
+            p = str(tmp_path / f"empty_{field}.adc")
+            good = self._row(1, 0, 0, 4, 5, 0)
+            bad = self._row(2, 1, 1, 3, 3, 20)
+            from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2
+            cells = bad.split(",")
+            cells[ADC_COLUMNS_V2.index(field)] = ""
+            open(p, "w").write(good + "\n" + ",".join(cells) + "\n")
+            with pytest.raises(ValueError):
+                parse_adc(p, SCHEMA_VERSION_2)
+
 
 class TestRoiByteRangeGuards:
     """Bin.image validates ROI byte ranges against the .roi file so corrupt

@@ -761,6 +761,67 @@ class TestOrchestrationReviewFixes:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
 
+class TestWatchSteadyState:
+    """Serving soak: a STATIC directory under many watch passes must be
+    fully idempotent — outputs byte-stable (no rework/rewrite), summary
+    flat, and the Python heap flat across idle passes (a leak in any
+    per-pass accumulator compounds over a months-long deployment)."""
+
+    def test_many_passes_idempotent_and_heap_flat(self, ckpt, tmp_path,
+                                                  monkeypatch):
+        import tracemalloc
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        for i in range(3):
+            write_bin(str(root), f"D2025050{i + 1}T000000_IFCB900",
+                      [make_roi(16, 20, i), make_roi(10, 10, i + 3)], 2)
+        out = str(tmp_path / "out")
+
+        snaps = []
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+
+            def time(self):  # far future: every bin quiescent immediately
+                return real_time.time() + 1e6
+
+            def sleep(self, s):  # fires between passes — snapshot here
+                self.sleeps += 1
+                files = {}
+                for dp, _, fns in os.walk(out):
+                    for fn in fns:
+                        if fn == "live.json":  # summary refreshes per pass
+                            continue
+                        p = os.path.join(dp, fn)
+                        st = os.stat(p)
+                        files[os.path.relpath(p, out)] = (st.st_mtime_ns,
+                                                          st.st_size)
+                snaps.append((files, tracemalloc.get_traced_memory()[0]))
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        tracemalloc.start()
+        try:
+            runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                                   watch_passes=12, summary="live.json"))
+        finally:
+            tracemalloc.stop()
+
+        assert len(snaps) == 11  # 12 passes, one sleep between each
+        baseline = snaps[0][0]
+        assert len(baseline) == 3  # one output per bin after pass 1
+        for files, _ in snaps[1:]:  # never rewritten, never re-dated
+            assert files == baseline
+        # heap flat across the idle passes (pass 2 → pass 12, after the
+        # first idle pass has warmed any lazy caches); generous bound
+        heap_warm, heap_end = snaps[1][1], snaps[-1][1]
+        assert heap_end - heap_warm < 512 * 1024, (heap_warm, heap_end)
+        s = json.load(open(os.path.join(out, "live.json")))
+        assert s["n_bins_done"] == 3
+
+
 class TestRound3Hardening:
     """Round-3 fixes: watch-mode aggregate double-count on staleness
     self-heal, predict_bin negative-startByte bounds check (gobig parity)."""

@@ -29,6 +29,14 @@ import os
 import numpy as np
 
 
+def _strip_ckpt_ext(path: str) -> str:
+    """Strip a TRAILING .ptl/.ckpt only. str.replace would substitute
+    anywhere in the path (…/run.ckpt_backups/m.ptl → …/run_backups/m),
+    silently relocating the artifact to a different directory."""
+    stem, ext = os.path.splitext(path)
+    return stem if ext in (".ptl", ".ckpt") else path
+
+
 def _load_calib_batch(calib_src: str, resize: int, mean, std, n: int):
     """One preprocessed calibration batch from a user-supplied sample of
     deployment data: a bin directory (.adc/.roi/.hdr filesets) or an image
@@ -114,10 +122,13 @@ def export_model(ckpt_path: str, output: str | None = None,
                                 dtype=dtype, fold_bn=folded)
     if quant:
         from .models.quant import build_quant_predict, supports_quant
-        if not supports_quant(hparams["MODEL"]) or not folded:
+        if not supports_quant(hparams["MODEL"]):
             raise ValueError(f"--precision int8 unsupported for "
                              f"{hparams['MODEL']!r} (needs a foldable, "
                              "non-grouped-conv family)")
+        if not folded:
+            raise ValueError("--precision int8 requires BN folding — "
+                             "unset IFCBNN_NO_FOLD to export int8")
         if not calib:
             raise ValueError("--precision int8 needs --calib DIR (a sample "
                              "of deployment bins or images to calibrate "
@@ -149,7 +160,7 @@ def export_model(ckpt_path: str, output: str | None = None,
     blob = exported.serialize()
 
     if not output:
-        output = ckpt_path.replace(".ptl", "").replace(".ckpt", "")
+        output = _strip_ckpt_ext(ckpt_path)
         output += (".INT8.stablehlo" if quant
                    else ".FP16.stablehlo" if half else ".stablehlo")
     os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
@@ -168,6 +179,10 @@ def export_model(ckpt_path: str, output: str | None = None,
                        img_norm=hparams.get("img_norm"),
                        model_id=hparams.get("model_id"),
                        n_classes=len(classes), bn_folded=folded,
+                       # 0 = dynamic batch; a fixed value lets RUN size its
+                       # loader to the serialized signature instead of dying
+                       # in jax.export shape checking
+                       batchsize=batchsize,
                        precision=("int8" if quant
                                   else "bf16" if half else "fp32"),
                        calib_src=(os.path.abspath(calib) if quant
@@ -250,9 +265,8 @@ def export_onnx(ckpt_path: str, output: str | None = None,
     if output:
         os.makedirs(os.path.dirname(output) or ".", exist_ok=True)
     else:
-        output = ckpt_path.replace(".ptl", "").replace(".ckpt", "") + ".onnx"
-        if half:
-            output = output.replace(".onnx", ".FP16.onnx")
+        output = _strip_ckpt_ext(ckpt_path) + (".FP16.onnx" if half
+                                               else ".onnx")
 
     _patch_torch_onnx_serializer()
     with torch.no_grad():
@@ -263,7 +277,11 @@ def export_onnx(ckpt_path: str, output: str | None = None,
                           dynamic_axes=dynamic_axes, dynamo=False)
     print("EXPORTED:", output)
 
-    classes_file = output.replace(".onnx", ".classes")
+    # strip only a TRAILING .onnx: replace() on a user --output with no
+    # ".onnx" substring would return the SAME path and truncate the
+    # just-written ModelProto with the class list
+    stem = output[:-len(".onnx")] if output.endswith(".onnx") else output
+    classes_file = stem + ".classes"
     with open(classes_file, "w") as f:
         f.write("\n".join(classes))
     print("EXPORTED:", classes_file)
@@ -300,6 +318,14 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
         with open(model_path + ".json") as f:
             meta = json.load(f)
     resize = meta.get("resize", 299)  # neuston_onnx.py:84 hardcodes 299
+    # a fixed-batch artifact (EXPORT --batchsize N) serialized an exact
+    # [N,...] signature: size the loader to it (HostLoader pads the tail),
+    # instead of letting exported.call die in opaque shape checking
+    fixed = int(meta.get("batchsize") or 0)
+    if fixed and fixed != batch_size:
+        print(f"artifact was exported with fixed batch {fixed}; "
+              f"using it instead of --batch {batch_size}")
+        batch_size = fixed
     img_norm = meta.get("img_norm")
     mean, std = (None, None)
     if img_norm:

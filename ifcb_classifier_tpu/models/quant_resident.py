@@ -5,7 +5,11 @@ models/quant_resnet.py, models/quant_vgg.py) differ only in topology;
 the quantize helpers, ctx state, the activation-scale rule
 (absmax/127, floored at 1e-12) and the make_calib_fn/make_quant_predict
 entrypoint contracts are identical and live HERE exactly once, so a fix
-to any of them cannot silently miss a family."""
+to any of them cannot silently miss a family.
+
+No reference analog: the reference's deployment inference is fp32 eager
+torch (/root/reference/neuston_models.py:152-157); the int8 tier is a
+beyond-reference TPU optimization (PARITY.md §5, QUIRKS.md)."""
 
 from __future__ import annotations
 

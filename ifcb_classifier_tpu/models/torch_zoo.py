@@ -510,11 +510,14 @@ class _MBConv(nn.Module):
 
 
 # mirrors models/efficientnet.py EFFICIENTNET_CFGS / _BASE_STAGES
+# (width_mult, depth_mult, classifier dropout — the per-variant rate
+# torchvision uses; a torch user fine-tuning a handed-back module must get
+# the same regularization as the flax model and torchvision, not a flat 0.2)
 _EFFICIENTNET_CFGS = {
-    "efficientnet_b0": (1.0, 1.0), "efficientnet_b1": (1.0, 1.1),
-    "efficientnet_b2": (1.1, 1.2), "efficientnet_b3": (1.2, 1.4),
-    "efficientnet_b4": (1.4, 1.8), "efficientnet_b5": (1.6, 2.2),
-    "efficientnet_b6": (1.8, 2.6), "efficientnet_b7": (2.0, 3.1),
+    "efficientnet_b0": (1.0, 1.0, 0.2), "efficientnet_b1": (1.0, 1.1, 0.2),
+    "efficientnet_b2": (1.1, 1.2, 0.3), "efficientnet_b3": (1.2, 1.4, 0.3),
+    "efficientnet_b4": (1.4, 1.8, 0.4), "efficientnet_b5": (1.6, 2.2, 0.4),
+    "efficientnet_b6": (1.8, 2.6, 0.5), "efficientnet_b7": (2.0, 3.1, 0.5),
 }
 _EFF_BASE_STAGES = (
     (1, 3, 1, 32, 16, 1), (6, 3, 2, 16, 24, 2), (6, 5, 2, 24, 40, 2),
@@ -533,7 +536,7 @@ def _round_filters(c, width_mult, divisor=8):
 class EfficientNet(nn.Module):
     def __init__(self, variant="efficientnet_b0", num_classes=5):
         super().__init__()
-        width, depth = _EFFICIENTNET_CFGS[variant]
+        width, depth, dropout = _EFFICIENTNET_CFGS[variant]
         bn_eps, bn_mom = ((1e-3, 0.01) if variant in (
             "efficientnet_b5", "efficientnet_b6", "efficientnet_b7")
             else (1e-5, 0.1))
@@ -552,7 +555,7 @@ class EfficientNet(nn.Module):
         head = 4 * in_ch
         feats.append(_cna(in_ch, head, 1, 1, bn_eps=bn_eps, bn_mom=bn_mom))
         self.features = nn.Sequential(*feats)
-        self.classifier = nn.Sequential(nn.Dropout(0.2),
+        self.classifier = nn.Sequential(nn.Dropout(dropout),
                                         nn.Linear(head, num_classes))
 
     def forward(self, x):

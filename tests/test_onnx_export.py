@@ -182,6 +182,66 @@ class TestOnnxArtifact:
                       "--precision", "int8"])
 
 
+class TestExportPathSafety:
+    """Artifact-path fixes: extension handling must never clobber the
+    just-written artifact or relocate outputs out of dotted directories."""
+
+    def test_output_without_onnx_suffix_not_clobbered(self, ckpt, tmp_path):
+        """--output with no '.onnx' substring: the old
+        output.replace('.onnx', '.classes') returned the SAME path and
+        truncated the ModelProto with the class list."""
+        from ifcb_classifier_tpu.export import export_onnx
+
+        out = export_onnx(ckpt, output=str(tmp_path / "model_v2"))
+        assert out == str(tmp_path / "model_v2")
+        assert os.path.getsize(out) > 10_000_000  # still the ModelProto
+        classes = open(str(tmp_path /
+                           "model_v2.classes")).read().splitlines()
+        assert classes == ["a", "b", "c"]
+
+    def test_dotted_dir_default_naming_stays_in_dir(self, ckpt, tmp_path):
+        """str.replace('.ckpt', '') on the whole path used to rewrite a
+        '.ckpt_backups' DIRECTORY name, silently relocating the artifact."""
+        import shutil
+
+        from ifcb_classifier_tpu.export import export_onnx
+
+        d = tmp_path / "run.ckpt_backups"
+        d.mkdir()
+        p = str(d / "m.ptl")
+        shutil.copy(ckpt, p)
+        out = export_onnx(p)
+        assert out == str(d / "m.onnx") and os.path.isfile(out)
+
+    def test_fixed_batch_artifact_adapts_run_batch(self, ckpt, tmp_path):
+        """A fixed-batch (--batchsize) artifact records its batch in
+        meta.json and RUN sizes the loader to it, instead of dying in
+        jax.export shape checking on a --batch mismatch."""
+        import json as _json
+
+        from fixtures import write_image_folder_dataset
+        from ifcb_classifier_tpu.export import export_model, run_exported
+
+        out = export_model(ckpt, output=str(tmp_path / "m.stablehlo"),
+                           batchsize=4)
+        assert _json.load(open(out + ".json"))["batchsize"] == 4
+        imgdir = write_image_folder_dataset(str(tmp_path / "imgs"),
+                                            {"a": 5})
+        scores, paths = run_exported(out, imgdir, batch_size=8)
+        assert len(paths) == 5 and scores.shape == (5, 3)
+
+    def test_int8_no_fold_env_names_the_env_var(self, ckpt, tmp_path,
+                                                monkeypatch):
+        """With IFCBNN_NO_FOLD=1 the int8 precondition error must blame the
+        env override, not falsely claim the family is unsupported."""
+        from ifcb_classifier_tpu.export import export_model
+
+        monkeypatch.setenv("IFCBNN_NO_FOLD", "1")
+        with pytest.raises(ValueError, match="IFCBNN_NO_FOLD"):
+            export_model(ckpt, output=str(tmp_path / "x.stablehlo"),
+                         precision="int8", calib=str(tmp_path))
+
+
 class TestTracedGraphParity:
     def test_torch_twin_matches_flax_for_bottleneck_family(self):
         """The exporter's fidelity argument: the traced torch module

@@ -261,7 +261,18 @@ class InferenceEngine:
                                       canvas.dtype)], axis=0)
                 sizes = np.concatenate(
                     [sizes, np.ones((pad, 2), sizes.dtype)], axis=0)
-            self._calibrate(canvas, sizes)
+            if self.calib_batches > 1:
+                # contract (cli --calib-batches help, QUIRKS.md): ALL N
+                # calibration batches are served by the full-precision
+                # graph; the int8 swap takes effect on the NEXT dispatch.
+                # Without capturing the pre-swap program here, batch N
+                # itself would come from the just-swapped int8 graph.
+                fp = (self._run_batch, self.params, self.batch_stats)
+                self._calibrate(canvas, sizes)
+                run, params, stats = fp
+                return run(params, stats, canvas, sizes)
+            self._calibrate(canvas, sizes)  # N=1: swap BEFORE the first
+            # dispatch — every score the engine ever returns is int8
         return self._run_batch(self.params, self.batch_stats, canvas, sizes)
 
     def _calibrate(self, canvas, sizes):
@@ -578,10 +589,26 @@ class _GobigAggregator:
             self._drain_one()
 
     def _drain_one(self):
-        probs, meta = self.inflight.pop(0)
-        probs = jax.device_get(probs)
+        probs, meta = self.inflight[0]
+        try:
+            probs = jax.device_get(probs)
+        except Exception as e:
+            # poisoned batch (async XLA error, tunnel hiccup): per-bin error
+            # isolation must survive it — every bin with rows in THIS batch
+            # gets its own error record and is dropped; sibling batches keep
+            # draining. Popping before the fetch would lose the bins
+            # silently and trip flush's completeness assert instead.
+            self.inflight.pop(0)
+            for key in {k for k, _ in meta}:
+                b = self.bins.pop(key, None)
+                if b is not None:
+                    self.on_error(b["obj"], e)
+            return
+        self.inflight.pop(0)
         for row, (key, target) in zip(probs, meta):
-            b = self.bins[key]
+            b = self.bins.get(key)
+            if b is None:  # bin already errored out of an earlier batch
+                continue
             b["rows"][target] = row
             b["remaining"] -= 1
             if b["remaining"] == 0:
@@ -629,10 +656,21 @@ def parse_filter(filter_arg):
     keywords = []
     for keyword in filter_arg[1:]:
         if os.path.isfile(keyword):
+            # strip + drop blank lines: the reference extended raw
+            # splitlines(), so one trailing newline yielded keyword '' which
+            # substring-matches EVERY pid (IN: filter no-op; OUT: whole
+            # dataset skipped) — QUIRKS.md, FIXED
             with open(keyword) as f:
-                keywords.extend(f.read().splitlines())
+                keywords.extend(k for k in
+                                (line.strip() for line in f) if k)
         else:
             keywords.append(keyword)
+    if not keywords:
+        # the reference instantiated (never raised) this check too
+        # (neuston_net.py:168-170) — a bare `--filter IN` would silently
+        # classify zero bins here ("IN nothing" matches nothing)
+        raise ValueError("--filter {} needs at least one KEYWORD "
+                         "(or a non-empty keyword file)".format(mode))
     return mode, keywords
 
 
@@ -720,6 +758,13 @@ def do_run(args, engine=None):
         raise ValueError("--watch must be a positive number of seconds")
     if watch and args.src_type != "bin":
         raise ValueError("--watch requires --type bin")
+    if getattr(args, "watch_settle", None) is not None and not watch:
+        raise ValueError("--watch-settle requires --watch (it is the "
+                         "quiescence window between watch passes)")
+    if (getattr(args, "calib_batches", None) not in (None, 1)
+            and getattr(args, "precision", None) != "int8"):
+        raise ValueError("--calib-batches requires --precision int8 "
+                         "(it sizes the int8 calibration phase)")
 
     if args.src_type == "bin":
         # --watch: continuous serving mode (beyond-reference; the reference's
@@ -838,6 +883,10 @@ def do_run(args, engine=None):
                 pid_key = str(bin_obj)
                 reclass = pid_key in done_pids
                 done_pids.add(pid_key)
+                # success closes the failure incident: the NEXT transient
+                # error on this bin starts backoff at 2 passes again instead
+                # of escalating cumulatively over the service lifetime
+                fail_retry.pop(pid_key, None)
                 if track_agg:
                     cls = np.argmax(probs, axis=1)
                     win = np.max(probs, axis=1)
@@ -986,6 +1035,14 @@ def do_run(args, engine=None):
                 print(bin_obj, type(err), err)
 
     else:  # IMAGES
+        # img mode emits ONE un-suffixed result file (reference contract,
+        # neuston_callbacks.py:186-202) — in a multi-host fleet only process
+        # 0 runs it; N hosts would do N× duplicate inference then race-write
+        # the same path (bin mode is the sharded fleet workload)
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            print("RUN --type img is single-file output: classified by "
+                  "process 0 only; idle on this host")
+            return
         img_paths = list_image_paths(args.SRC, filter_mode, filter_keywords)
         assert len(img_paths) > 0, "No images to process"
         # engine.batch_size, NOT args.batch_size: the engine rounds its

@@ -17,6 +17,7 @@ artifact format.
 from __future__ import annotations
 
 import json
+import os
 
 import flax.serialization
 import jax
@@ -44,8 +45,13 @@ def save_checkpoint(path: str, params, batch_stats, hparams: dict):
         "batch_stats": jax.device_get(batch_stats),
     }
     blob = flax.serialization.msgpack_serialize(payload)
-    with open(path, "wb") as f:
+    # atomic (tmp + rename), like save_train_state below: a crash mid-write
+    # must not leave a truncated msgpack that end-of-training copies into
+    # the published {model_id}.ptl artifact
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str):

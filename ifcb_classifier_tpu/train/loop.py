@@ -344,8 +344,10 @@ def do_training(args):
             probs_l.append(probs)
             ns.append(n)
             classes_l.append(b["labels"][:n])
-            srcs.extend(val_loader.items[i] for i in b["indices"][:n])
-            gathered_idx.append(b["indices"][:n])
+            if n_proc == 1:  # paths used only by the single-host return
+                srcs.extend(val_loader.items[i] for i in b["indices"][:n])
+            else:  # indices ride the allgather; paths resolve from them
+                gathered_idx.append(b["indices"][:n])
         # f64 accumulation: per-batch losses were Python floats in the
         # reference (.item()), so the epoch sum must not lose f32 bits —
         # the strictly-less best-epoch comparison rides on it

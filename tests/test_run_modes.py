@@ -761,6 +761,163 @@ class TestOrchestrationReviewFixes:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
 
+class TestFilterValidation:
+    """parse_filter hardening (QUIRKS.md FIXED row): the reference's
+    keyword checks were dead code and blank keyword-file lines produced the
+    match-everything keyword ''."""
+
+    def test_filter_in_without_keywords_rejected(self):
+        from ifcb_classifier_tpu.infer.runner import parse_filter
+        with pytest.raises(ValueError, match="KEYWORD"):
+            parse_filter(["IN"])
+
+    def test_keyword_file_blank_lines_dropped(self, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import parse_filter
+        kf = tmp_path / "kw.txt"
+        kf.write_text("D2024\n\n  IFCB900  \n\n")
+        assert parse_filter(["OUT", str(kf)]) == ("OUT",
+                                                  ["D2024", "IFCB900"])
+
+    def test_all_blank_keyword_file_rejected(self, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import parse_filter
+        kf = tmp_path / "kw.txt"
+        kf.write_text("\n\n")
+        with pytest.raises(ValueError, match="KEYWORD"):
+            parse_filter(["IN", str(kf)])
+
+
+class TestSilentFlagRejection:
+    """Flags whose enabling flag is absent must be rejected loudly, not
+    silently ignored (same policy as the --watch spelling checks)."""
+
+    def test_watch_settle_without_watch(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = str(tmp_path / "bins")
+        os.makedirs(src)
+        with pytest.raises(ValueError, match="watch-settle"):
+            do_run(run_args(src, ckpt, str(tmp_path / "o"),
+                            watch_settle=60.0))
+
+    def test_calib_batches_without_int8(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = str(tmp_path / "bins")
+        os.makedirs(src)
+        with pytest.raises(ValueError, match="calib-batches"):
+            do_run(run_args(src, ckpt, str(tmp_path / "o"),
+                            calib_batches=4))
+
+
+class TestGobigPoisonedBatch:
+    """A device fetch failing for ONE in-flight gobig batch must error-
+    record exactly the bins riding that batch; the aggregator stays usable
+    and flush's completeness assert holds (per-bin error isolation)."""
+
+    def test_poisoned_batch_errors_its_bins_only(self, ckpt, tmp_path,
+                                                 monkeypatch):
+        import jax as _jax
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        from ifcb_classifier_tpu.infer import runner
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+
+        engine = InferenceEngine(ckpt, batch_size=8)
+        root = tmp_path / "bins"
+        pids = [f"D2025060{i}T000000_IFCB900" for i in (1, 2, 3)]
+        bins = []
+        for i, p in enumerate(pids):
+            write_bin(str(root), p, [make_roi(12, 14, i)], 2)
+            bins.append(Bin(str(root / (p + ".adc"))))
+
+        results, errors = {}, {}
+        agg = engine.gobig(
+            lambda obj, t, pr: results.__setitem__(str(obj), pr),
+            lambda obj, e: errors.__setitem__(str(obj), e))
+
+        # tag the FIRST dispatched batch; fail exactly its device fetch
+        real_dispatch = engine._dispatch
+        poison = []
+
+        def tag_dispatch(canvas, sizes):
+            out = real_dispatch(canvas, sizes)
+            if not poison:
+                poison.append(out)
+            return out
+
+        real_get = _jax.device_get
+
+        def poison_get(x):
+            if poison and x is poison[0]:
+                raise RuntimeError("simulated fetch failure")
+            return real_get(x)
+
+        monkeypatch.setattr(engine, "_dispatch", tag_dispatch)
+        monkeypatch.setattr(runner.jax, "device_get", poison_get)
+
+        agg.add_bin(bins[0], bins[0].pid)
+        agg.add_bin(bins[1], bins[1].pid)
+        agg.flush()  # both bins rode the poisoned batch
+        assert set(errors) == {pids[0], pids[1]} and not results
+        assert "simulated fetch failure" in str(errors[pids[0]])
+
+        # the same aggregator keeps working after the incident
+        agg.add_bin(bins[2], bins[2].pid)
+        agg.flush()
+        assert set(results) == {pids[2]}
+
+
+class TestWatchBackoffReset:
+    def test_success_resets_failure_backoff(self, ckpt, tmp_path,
+                                            monkeypatch, capsys):
+        """fail → succeed → (bin grows) fail again: the second incident
+        starts at backoff 2, not the cumulative 4 — success closes the
+        incident (review fix)."""
+        import re
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pid = "D20250701T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(12, 14, 1)], 2)
+        out = str(tmp_path / "out")
+
+        engine = runner.InferenceEngine(ckpt, batch_size=8)
+        real_predict = engine.predict_bin
+        calls = []
+
+        def flaky_predict(bin_):
+            calls.append(1)
+            if len(calls) in (1, 3):  # two separate one-off incidents
+                raise OSError("transient")
+            return real_predict(bin_)
+
+        monkeypatch.setattr(engine, "predict_bin", flaky_predict)
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+
+            def time(self):
+                return real_time.time() + 1e6
+
+            def sleep(self, s):
+                self.sleeps += 1
+                if self.sleeps == 3 and os.path.isfile(
+                        os.path.join(out, pid + ".json")):
+                    # bin grows after its successful classification;
+                    # backdate the output so the self-heal reclassifies
+                    write_bin(str(root), pid,
+                              [make_roi(12, 14, 1), make_roi(9, 9, 2)], 2)
+                    old = real_time.time() - 100
+                    os.utime(os.path.join(out, pid + ".json"), (old, old))
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=7), engine=engine)
+        retries = re.findall(r"retry in (\d+) pass", capsys.readouterr().out)
+        # both incidents back off 2 passes; without the reset the second
+        # would report 4
+        assert retries == ["2", "2"]
+
+
 class TestWatchSteadyState:
     """Serving soak: a STATIC directory under many watch passes must be
     fully idempotent — outputs byte-stable (no rework/rewrite), summary

@@ -301,7 +301,7 @@ class InferenceEngine:
             return  # keep serving full precision while calibrating
         absmax, geoms = self._calib_absmax, self._calib_geoms
         pruned, qconv = quantize_params(jax.device_get(self.params),
-                                        absmax, geoms)
+                                        geoms)
         pruned["__quant__"] = qconv
         predict_q = make_quant_predict(self.model, absmax, geoms)
         self.params, self.batch_stats, self._run_batch = self._place_and_jit(

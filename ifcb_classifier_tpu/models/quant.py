@@ -145,13 +145,15 @@ def make_calib_fn(model):
     return calib_fn, geoms
 
 
-def quantize_params(params, absmax, geoms):
+def quantize_params(params, geoms):
     """Split a folded param tree into (pruned_params, qconv).
 
     qconv[path] = {w_int8 [kh,kw,ci,co], w_scale f32[co], bias f32[co]};
     the corresponding conv kernels/biases are REMOVED from pruned_params
     (the interceptor never looks them up, and shipping both would double
-    weight traffic). absmax: {path: float} from the calibration pass.
+    weight traffic). Weight scales are per-output-channel absmax/127;
+    activation scales (the calibration absmax) live in the predict fn,
+    not here.
     """
     params = jax.device_get(params)
     qconv = {}
@@ -182,7 +184,7 @@ def build_quant_predict(model, params, batch_stats, calib_images):
     calib_fn, geoms = make_calib_fn(model)
     absmax = {k: float(v) for k, v in jax.device_get(
         jax.jit(calib_fn)(params, batch_stats, calib_images)).items()}
-    pruned, qconv = quantize_params(jax.device_get(params), absmax, geoms)
+    pruned, qconv = quantize_params(jax.device_get(params), geoms)
     pruned[_QUANT_KEY] = qconv
     return jax.device_put(pruned), make_quant_predict(model, absmax, geoms)
 

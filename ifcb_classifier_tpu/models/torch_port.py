@@ -256,11 +256,15 @@ def port_state_dict(family: str, state_dict: dict, params, batch_stats,
                 try:
                     out.append(_transform_leaf(state_dict[tkey], leaf))
                     ported.append(tkey)
-                except ValueError:
-                    if skip_head:  # head with different n_classes
-                        out.append(leaf)
-                    else:
-                        raise
+                except ValueError as e:
+                    # heads were already skipped BY NAME above when
+                    # skip_head is set, so a shape mismatch here is a
+                    # TRUNK tensor (e.g. the wrong width/depth variant's
+                    # weights) — never silently keep random init
+                    raise ValueError(
+                        f"torch_port: {tkey} shape mismatch porting "
+                        f"{family} ({e}) — wrong variant's weights? "
+                        "Refusing a silent partial port") from e
             else:
                 missing.append(tkey)
                 out.append(leaf)

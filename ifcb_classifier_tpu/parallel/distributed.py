@@ -41,8 +41,14 @@ def initialize_from_env(coordinator_port: int = 9377) -> bool:
     if ntasks > 1:
         coordinator = os.environ.get("IFCBNN_COORDINATOR") or \
             _slurm_first_host(os.environ.get("SLURM_JOB_NODELIST", ""))
+        # derive the port from the job id (like jax's own SlurmCluster):
+        # two jobs whose rank-0 tasks share a node must not collide on one
+        # fixed port. IFCBNN_COORDINATOR_PORT overrides.
+        port = int(os.environ.get("IFCBNN_COORDINATOR_PORT", "0")) or (
+            coordinator_port
+            + int(os.environ.get("SLURM_JOB_ID", "0")) % 2 ** 12)
         jax.distributed.initialize(
-            coordinator_address=f"{coordinator}:{coordinator_port}",
+            coordinator_address=f"{coordinator}:{port}",
             num_processes=ntasks,
             process_id=int(os.environ.get("SLURM_PROCID", "0")))
         return True

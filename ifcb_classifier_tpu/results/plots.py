@@ -255,3 +255,18 @@ def validate_plot_files(plot_files, *, which, src_type=None):
                 "{BIN_" in fname or "{INPUT_SUBDIRS}" in fname):
             raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "
                              "available with --type img")
+        if "{" in fname:
+            # a typo'd placeholder ({epochs}, {BIN_IDX}) would otherwise
+            # pass startup validation and KeyError at the FIRST render —
+            # hours into a run, the exact failure this function exists to
+            # front-load
+            dummy = (dict(epoch=0) if which == "train"
+                     else dict(BIN_ID="b", BIN_YEAR=2020, BIN_DATE="d",
+                               INPUT_SUBDIRS=""))
+            try:
+                fname.format(**dummy)
+            except (KeyError, IndexError, ValueError):
+                raise ValueError(
+                    "--plot {}: unknown FNAME placeholder; available: {}"
+                    .format(fname, sorted("{%s}" % k for k in dummy))
+                ) from None

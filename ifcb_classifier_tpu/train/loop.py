@@ -47,9 +47,19 @@ from .state import create_train_state, make_eval_step, make_train_step
 
 def seed_everything(seed):
     """Seed python/numpy/jax; returns the concrete seed (random if falsy) —
-    the reference's `seed_everything(args.seed or None)` (neuston_net.py:62)."""
+    the reference's `seed_everything(args.seed or None)` (neuston_net.py:62).
+
+    Multi-host: a falsy seed is drawn ONCE (host 0) and broadcast — the
+    per-class split() and class-max sampling define the dataset manifest
+    from this seed, and shard_manifest/validation reconstruction assume the
+    IDENTICAL manifest on every host; independent per-host draws would
+    silently train on overlapping/incomplete shards."""
     if not seed:
         seed = random.SystemRandom().randint(1, 2 ** 31 - 1)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            seed = int(multihost_utils.broadcast_one_to_all(
+                np.int64(seed)))
     random.seed(seed)
     np.random.seed(seed & 0xFFFFFFFF)
     return seed

@@ -135,7 +135,16 @@ def port_weights(args):
       back to torch/torchvision users."""
     with open(args.STATE_DICT, "rb") as f:
         head = f.read(2)
-    if head != b"PK" and not args.STATE_DICT.endswith(".npz"):
+    # torch artifacts: zip ('PK', torch>=1.6) OR legacy pickle stream
+    # (0x80 + protocol byte, torch<1.6 / _use_new_zipfile_serialization=
+    # False) — both are handled by torch.load. Our msgpack checkpoint's
+    # payload dict serializes as a msgpack fixmap (0x84), never a pickle
+    # magic, so the sniff is unambiguous.
+    is_torch_or_npz = (head == b"PK"
+                       or (head[:1] == b"\x80"
+                           and head[1:2] in b"\x02\x03\x04\x05")
+                       or args.STATE_DICT.endswith(".npz"))
+    if not is_torch_or_npz:
         # not a zip (torch/npz): our msgpack checkpoint — reverse port
         from .models.torch_port import export_state_dict
         from .train.checkpoint import load_checkpoint

@@ -28,7 +28,7 @@ def _quant_pipeline(name, size, n_classes=5, batch=6):
     calib_fn, geoms = Q.make_calib_fn(fmodel)
     absmax = {k: float(v) for k, v in
               jax.device_get(jax.jit(calib_fn)(fparams, fstats, x)).items()}
-    pruned, qconv = Q.quantize_params(fparams, absmax, geoms)
+    pruned, qconv = Q.quantize_params(fparams, geoms)
     pruned["__quant__"] = qconv
     predict_q = Q.make_quant_predict(fmodel, absmax, geoms)
     probs_q = jax.jit(predict_q)(pruned, fstats, x)
@@ -277,7 +277,7 @@ class TestResidentGraph:
                 calib_fn, geoms = Q.make_calib_fn(fmodel)
                 absmax = {k: float(v) for k, v in jax.device_get(
                     jax.jit(calib_fn)(fparams, fstats, x)).items()}
-                pruned, qconv = Q.quantize_params(fparams, absmax, geoms)
+                pruned, qconv = Q.quantize_params(fparams, geoms)
                 pruned["__quant__"] = qconv
                 predict = Q.make_quant_predict(fmodel, absmax, geoms)
                 out[tag] = (np.asarray(jax.jit(predict)(pruned, fstats, x)),

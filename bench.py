@@ -69,15 +69,20 @@ def _xla_flops(compiled):
         return None
 
 
-def _mfu_fields(flops_per_call, calls_per_sec):
-    """{"mfu_pct", "tflops_per_sec", ...} — empty when unknowable."""
+def _mfu_fields(flops_per_call, calls_per_sec, peak_scale=1):
+    """{"mfu_pct", "tflops_per_sec", ...} — empty when unknowable.
+
+    peak_scale: 2 for int8 graphs — the int8 MXU peak is 2x the bf16
+    table entry (v5e: 394 TOPS vs 197 TFLOP/s), and reporting int8 MFU
+    against the bf16 peak would overstate utilization ~2x (the roofline
+    artifacts tools/roofline.py publishes use the same int8-peak basis)."""
     out = {}
     if flops_per_call:
         achieved = flops_per_call * calls_per_sec
         out["tflops_per_sec"] = round(achieved / 1e12, 2)
         peak = _peak_flops()
         if peak:
-            out["mfu_pct"] = round(100.0 * achieved / peak, 2)
+            out["mfu_pct"] = round(100.0 * achieved / (peak * peak_scale), 2)
     return out
 
 
@@ -233,7 +238,8 @@ def bench_infer():
         # chunk pads to B and burns B images of FLOPs regardless, so
         # ips/B under-reports whenever BENCH_ROIS % BENCH_BATCH != 0
         payload.update(_mfu_fields(batch_flops,
-                                   statistics.median(call_rates)))
+                                   statistics.median(call_rates),
+                                   peak_scale=2 if quant else 1))
     print(json.dumps(payload))
 
 

@@ -28,10 +28,28 @@ _build_error = None
 def _build_and_load(so, src, extra_libs=()):
     if (not os.path.isfile(so)) or (
             os.path.getmtime(so) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so, src, "-lpthread", *extra_libs],
-            check=True, capture_output=True, text=True)
+        # atomic build: concurrent first use (HostLoader decode threads,
+        # several sharded processes on a shared filesystem) must never
+        # CDLL a half-linked library — compile to a unique temp and
+        # os.replace into place (last writer wins, artifacts equivalent).
+        # Portable codegen by default: -march=native would bake the BUILD
+        # host's ISA into a file cached on shared storage, and a job
+        # landing on an older-microarch node SIGILLs (uncatchable).
+        # Homogeneous clusters can opt into IFCBNN_NATIVE_MARCH=native.
+        import threading
+        tmp = "{}.{}-{}.tmp".format(so, os.getpid(),
+                                    threading.get_ident())
+        march = os.environ.get("IFCBNN_NATIVE_MARCH", "")
+        flags = ["-O3"] + (["-march=" + march] if march else [])
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-o", tmp, src,
+                 "-lpthread", *extra_libs],
+                check=True, capture_output=True, text=True)
+            os.replace(tmp, so)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return ctypes.CDLL(so)
 
 

@@ -39,7 +39,12 @@ int roipack_pack(const uint8_t* roi, int64_t roi_len,
     auto work = [&](int32_t lo, int32_t hi) {
         for (int32_t i = lo; i < hi; i++) {
             int64_t h = hs[i], w = ws[i], s0 = start[i];
-            if (h <= 0 || w <= 0 || s0 < 0 || s0 + h * w > roi_len) {
+            // overflow-safe range check: h*w can wrap int64 for corrupt
+            // ADC dims (parsed float64->int64), which would bypass a
+            // naive `s0 + h*w > roi_len` and memcpy out of bounds.
+            // h > (roi_len - s0) / w  <=>  h*w > roi_len - s0, no overflow.
+            if (h <= 0 || w <= 0 || s0 < 0 || s0 > roi_len ||
+                h > (roi_len - s0) / w) {
                 sizes[2 * i] = 0; sizes[2 * i + 1] = 0;
                 bad.store(1, std::memory_order_relaxed); continue;
             }

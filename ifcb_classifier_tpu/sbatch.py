@@ -6,7 +6,9 @@ TPU-native adjustments: the rendered job requests TPU resources via a
 generic `--gres` string (default keeps the reference's gpu:1 shape so
 existing cluster configs keep working), loads no CUDA modules, and the
 command line re-invokes `python -m ifcb_classifier_tpu ...`. Multi-host
-TPU pods add `--tasks-per-node` + `jax.distributed.initialize` via env.
+TPU pods use `--ntasks N`: the rendered script launches the command via
+`srun` (one process per task; each discovers its jax.distributed process
+id from SLURM_PROCID, parallel/distributed.py).
 """
 
 from __future__ import annotations
@@ -99,8 +101,15 @@ def main(parser):
     idx = sys.argv.index(args.cmd_mode)
     nn_args = sys.argv[idx:]
     nn_args = [a if " " not in a else '"{}"'.format(a) for a in nn_args]
-    sbatch_dict["CMD"] = cmd = "python -m ifcb_classifier_tpu {}".format(
-        " ".join(nn_args))
+    cmd = "python -m ifcb_classifier_tpu {}".format(" ".join(nn_args))
+    if int(sbatch_dict["NTASKS"]) > 1:
+        # multi-host: the batch script body runs ONCE on the first node —
+        # srun is what launches all NTASKS processes (each with its own
+        # SLURM_PROCID, which parallel/distributed.py turns into the
+        # jax.distributed process id). Without it the lone process blocks
+        # in jax.distributed.initialize waiting for peers forever.
+        cmd = "srun " + cmd
+    sbatch_dict["CMD"] = cmd
     print("SRUN Command:  " + cmd)
 
     content = SBATCH_TEMPLATE.format(**sbatch_dict)

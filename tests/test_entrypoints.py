@@ -66,6 +66,23 @@ class TestSbatchDryRun:
         assert "python -m ifcb_classifier_tpu TRAIN srcdir resnet18 tid" \
             in content
         assert "SRUN Command:" in r.stdout
+        # single-task: the command must NOT be srun-wrapped
+        assert "srun python" not in content
+
+    def test_multitask_wraps_command_in_srun(self, tmp_path):
+        """--ntasks N>1: the script body runs once — only srun launches all
+        N processes (each with SLURM_PROCID for jax.distributed); without
+        it the lone process waits for peers until walltime."""
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "tj4", "--ntasks", "4",
+             "TRAIN", "srcdir", "resnet18", "tid",
+             "--outdir", str(tmp_path)],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        content = (tmp_path / "xxxxxx.tj4.sbatch").read_text()
+        assert "#SBATCH --ntasks=4" in content
+        assert "srun python -m ifcb_classifier_tpu TRAIN" in content
 
 
 class TestSbatchRunOutdir:

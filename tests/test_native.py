@@ -59,6 +59,18 @@ class TestRoipack:
         assert tuple(sizes[0]) == (0, 0)
         assert (canvas[0] == 0).all()
 
+    def test_int64_overflow_dims_skipped_not_oob(self):
+        """Corrupt ADC dims near 2^32: h*w wraps int64, which would bypass
+        a naive `s0 + h*w > roi_len` bounds check and memcpy out of bounds
+        (segfault). The overflow-safe check must flag the row (0,0) — same
+        as the numpy fallback."""
+        rois = [make_roi(4, 4, 0)]
+        buf, starts, hs, ws = _make_buffer(rois)
+        big = np.asarray([1 << 32], np.int64)  # h*w == 2^64 -> wraps to 0
+        canvas, sizes = native.pack_rois_native(buf, starts, big, big, 2, 32)
+        assert tuple(sizes[0]) == (0, 0)
+        assert (canvas[0] == 0).all()
+
     def test_oversize_roi_clamped(self):
         rois = [make_roi(40, 50, 4)]
         buf, starts, hs, ws = _make_buffer(rois)

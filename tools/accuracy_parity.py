@@ -89,12 +89,17 @@ def compare(ours: dict, ref: dict, min_agreement: float):
     bins = sorted(set(ours) & set(ref))
     missing = sorted(set(ref) - set(ours))
     n, agree, mae, worst = 0, 0, 0.0, 0.0
+    rois_missing = 0
     y_ref, y_ours = [], []
     for b in bins:
         o, r = ours[b], ref[b]
         assert o["class_labels"] == r["class_labels"], \
             f"class label sets differ for {b}"
         rois = sorted(set(o["roi_numbers"]) & set(r["roi_numbers"]))
+        # ROI-level coverage gates too: a regression that DROPS rows from
+        # our results would otherwise shrink the intersection and PASS on
+        # whatever survived — the exact failure this harness exists to catch
+        rois_missing += len(set(r["roi_numbers"]) - set(o["roi_numbers"]))
         oi = {t: k for k, t in enumerate(o["roi_numbers"])}
         ri = {t: k for k, t in enumerate(r["roi_numbers"])}
         for t in rois:
@@ -111,12 +116,13 @@ def compare(ours: dict, ref: dict, min_agreement: float):
     f1_ours_vs_ref = m.f1_score(y_ref, y_ours, average="weighted") if n else 0
     report = dict(
         bins_compared=len(bins), bins_missing_from_ours=missing,
-        rois_compared=n,
+        rois_compared=n, rois_missing_from_ours=rois_missing,
         top1_agreement=round(agree / max(n, 1), 5),
         score_mae=round(mae / max(n, 1), 6),
         score_max_abs_delta=round(worst, 6),
         weighted_f1_vs_reference_labels=round(float(f1_ours_vs_ref), 5))
-    ok = n > 0 and not missing and report["top1_agreement"] >= min_agreement
+    ok = (n > 0 and not missing and rois_missing == 0
+          and report["top1_agreement"] >= min_agreement)
     return report, ok
 
 
@@ -139,7 +145,9 @@ def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):
     from PIL import Image
 
     from ifcb_classifier_tpu.data.datasets import parse_imgnorm
-    from ifcb_classifier_tpu.data.ifcb import DataDirectory
+    from ifcb_classifier_tpu.data.ifcb import (SCHEMA_VERSION_1,
+                                               DataDirectory,
+                                               infilled_images)
     from ifcb_classifier_tpu.models import get_namebrand_model
     from ifcb_classifier_tpu.models.torch_port import export_state_dict
     from ifcb_classifier_tpu.results.run import save_run_results
@@ -164,7 +172,13 @@ def demo_reference_results(ckpt, bins_dir, ref_outdir, timestamp):
         rel = os.path.dirname(bin.fileset.basepath.replace(bins_dir, ""))
         bin.pid.namespace = rel + os.sep if rel else ""
         images, targets = [], []
-        for t, roi in bin.images.items():
+        # schema-v1 bins serve STITCHED composites, exactly like RUN
+        # (infer/runner.py predict_bin) and the reference's InfilledImages
+        # wrap (neuston_data.py:446-449) — raw bin.images rows would
+        # compare a first-sub-ROI against our stitched frame
+        imgs = (infilled_images(bin) if bin.schema == SCHEMA_VERSION_1
+                else bin.images)
+        for t, roi in imgs.items():
             im = Image.fromarray(roi, "L").convert("RGB").resize(
                 (resize, resize), Image.BILINEAR)
             arr = np.asarray(im, np.float32) / 255.0
@@ -220,8 +234,10 @@ def main():
                     help="directory of reference-produced result files "
                          "(h5/json); omit to just produce ours")
     ap.add_argument("--outdir", default="parity-out")
-    ap.add_argument("--emax", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=108)
+    ap.add_argument("--emax", type=int, default=None,
+                    help="TRAIN epochs (default 10; demo modes default 2)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="batch size (default 108; demo modes default 16)")
     ap.add_argument("--seed", type=int, default=61)
     ap.add_argument("--min-agreement", type=float, default=0.995,
                     help="top-1 agreement gate (0.995 = the ±0.5% target)")
@@ -238,7 +254,10 @@ def main():
     if args.demo or args.demo_flagship or args.demo_model:
         args.model = ("inception_v3" if args.demo_flagship
                       else args.demo_model or "resnet18")
-        args.emax, args.batch = 2, 16
+        # demo-sized defaults, but an explicit --emax/--batch wins (e.g. a
+        # better-trained demo model when agreement is borderline)
+        args.emax = 2 if args.emax is None else args.emax
+        args.batch = 16 if args.batch is None else args.batch
         corpus = os.path.join(args.outdir, "corpus")
         if not os.path.isdir(corpus):
             sh(py, os.path.join(REPO, "tools", "make_demo_corpus.py"), corpus,
@@ -258,11 +277,16 @@ def main():
             if not args.class_config:
                 cc = os.path.join(args.outdir, "class_config.csv")
                 with open(cc, "w") as f:
-                    f.write("class,demo\nround,1\nelongated,long\nspiky,1\n")
+                    # 'blob' MERGES round+elongated (rename-to-same-label
+                    # grouping, neuston_data.py:207-223); spiky stays
+                    f.write("class,demo\nround,blob\nelongated,blob\n"
+                            "spiky,1\n")
                 args.class_config = [cc, "demo"]
 
     assert args.weights and args.train_src and args.bins, \
         "--weights/--train-src/--bins required (or --demo)"
+    args.emax = 10 if args.emax is None else args.emax
+    args.batch = 108 if args.batch is None else args.batch
 
     # 1) PORT_WEIGHTS
     ported = os.path.join(args.outdir, "ported_weights.npz")

@@ -86,12 +86,13 @@ def main():
         from make_demo_corpus import write_bins
         bin_dir = os.path.join(tmp, "bins")
         write_bins(bin_dir, np.random.default_rng(0), n_bins=args.bins,
-                   rois_per_bin=args.rois)
+                   rois_per_bin=args.rois, include_v1=False)
     bins = sorted(glob.glob(os.path.join(bin_dir, "**", "*.adc"),
                             recursive=True))
     assert bins, f"no bins under {bin_dir}"
 
-    resize = 299 if args.model == "inception_v3" else 224
+    from ifcb_classifier_tpu.models import input_size_for
+    resize = input_size_for(args.model)
     ckpt = build_ckpt(os.path.join(tmp, "m.ptl"), args.model, resize)
 
     from ifcb_classifier_tpu.infer.runner import InferenceEngine

@@ -60,7 +60,8 @@ def _write_fileset(base, rows, blobdata):
         f.write("softwareVersion: demo\n")
 
 
-def write_bins(root, rng, n_bins=4, rois_per_bin=120):
+def write_bins(root, rng, n_bins=4, rois_per_bin=120,
+               include_v1=True):
     os.makedirs(root, exist_ok=True)
     kinds = ("round", "elongated", "spiky")
     for b in range(n_bins):
@@ -80,6 +81,11 @@ def write_bins(root, rng, n_bins=4, rois_per_bin=120):
             blobdata.extend(img.tobytes())
         _write_fileset(os.path.join(root, pid), rows, blobdata)
 
+    if not include_v1:
+        # homogeneous-v2 corpus for A/B benchmarks: the v1 bin routes
+        # through the stitching path in BOTH arms, adding a constant term
+        # that dilutes measured speedups (tools/bench_perbin.py)
+        return
     # one old-format (schema v1) bin with multi-ROI triggers, so the
     # stitching path gets demo coverage too
     rows, blobdata = [], bytearray()

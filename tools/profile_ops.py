@@ -33,7 +33,6 @@ def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
 
     from ifcb_classifier_tpu.models import get_namebrand_model, input_size_for
     from ifcb_classifier_tpu.train.state import (create_train_state,
-                                                 make_predict_step,
                                                  make_train_step)
 
     size = input_size_for(model_name)
@@ -57,30 +56,13 @@ def _compiled_step(mode, model_name, batch, remat, precision="bf16"):
         run.hlo_text = compiled.as_text
         return run
 
-    model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jnp.zeros((1, size, size, 3), jnp.float32), train=True)
-    params, stats = variables["params"], variables.get("batch_stats", {})
-    from ifcb_classifier_tpu.models.fold import fold_params, supports_fold
-    if supports_fold(model_name):
-        params, stats = fold_params(model_name, jax.device_get(params),
-                                    jax.device_get(stats))
-        model = get_namebrand_model(model_name, 50, dtype=jnp.bfloat16,
-                                    fold_bn=True)
-    params = jax.device_put(params)
-    stats = jax.device_put(stats)
-    if precision == "int8":
-        import numpy as np
-
-        from ifcb_classifier_tpu.models.quant import (build_quant_predict,
-                                                      supports_quant)
-        assert supports_quant(model_name), model_name
-        calib_x = jnp.asarray(
-            np.random.RandomState(1).rand(batch, size, size, 3), jnp.float32)
-        params, predict = build_quant_predict(model, params, stats, calib_x)
-    else:
-        predict = make_predict_step(model)
+    # ONE build path shared with the roofline tool: the profiler must
+    # profile exactly the graph roofline.py measures (and both mirror the
+    # product engine build in infer/runner.py)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from roofline import build_infer_graph
+    model, params, stats, predict = build_infer_graph(
+        model_name, batch, size, fold=True, precision=precision)
 
     @jax.jit
     def f(params, stats, x, acc):
@@ -137,8 +119,14 @@ def top_ops(trace_dir, k):
     # durations include the time they overlap compute — summing those
     # double-counts wildly). Aggregate 'XLA Ops' only when present.
     lines = [ln for p in device for ln in p.lines if ln.name == "XLA Ops"]
-    if not lines:
+    if not lines and device:
+        # degraded mode: summing every device line re-introduces exactly
+        # the double-counting described above — say so loudly instead of
+        # presenting it like a clean trace
         lines = [ln for p in device for ln in p.lines]
+        print("[WARNING: no 'XLA Ops' line on the device plane; summing "
+              f"ALL device lines {[ln.name for ln in lines]} — totals may "
+              "double-count overlapping module/DMA spans]")
     if not lines:
         # fall back to the busiest plane so the tool still says something
         # useful on unexpected backends; name it so the reader knows
@@ -213,6 +201,9 @@ def main():
                          "(conv fwd/bwd, maxpool bwd, reductions, copies) "
                          "via the optimized HLO's backend configs")
     args = ap.parse_args()
+    if args.mode == "train" and args.precision == "int8":
+        ap.error("--precision int8 applies to --mode infer only "
+                 "(training is bf16; TRAIN rejects int8 in the product too)")
 
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
     enable_compile_cache()

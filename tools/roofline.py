@@ -99,8 +99,13 @@ def measure_train(model_name, batch, size, iters, trials, remat=False):
     return flops, nbytes, statistics.median(times)
 
 
-def measure_infer(model_name, batch, size, iters, trials, fold=True,
-                  copts=None, precision="bf16"):
+def build_infer_graph(model_name, batch, size, fold=True,
+                      precision="bf16"):
+    """The PRODUCT inference graph build (init → BN fold → device_put →
+    optional int8 calibrate+quantize) in ONE place, shared by roofline.py
+    and profile_ops.py — the profiler must never drift into profiling a
+    different graph than the roofline measures. Returns
+    (model, params, stats, predict)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -134,6 +139,17 @@ def measure_infer(model_name, batch, size, iters, trials, fold=True,
         params, predict = build_quant_predict(model, params, stats, calib_x)
     else:
         predict = make_predict_step(model)
+    return model, params, stats, predict
+
+
+def measure_infer(model_name, batch, size, iters, trials, fold=True,
+                  copts=None, precision="bf16"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model, params, stats, predict = build_infer_graph(
+        model_name, batch, size, fold=fold, precision=precision)
 
     @jax.jit
     def run(params, stats, x, acc):

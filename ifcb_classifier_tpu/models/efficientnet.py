@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import ConvT, global_avg_pool
+from .layers import ConvT, TorchBN, global_avg_pool
 
 # variant: (width_mult, depth_mult, dropout)
 EFFICIENTNET_CFGS = {
@@ -31,15 +31,17 @@ EFFICIENTNET_CFGS = {
     "efficientnet_b7": (2.0, 3.1, 0.5),
 }
 
-# base MBConv stages: (expand_ratio, kernel, stride, in_ch, out_ch, repeats)
+# base MBConv stages: (expand_ratio, kernel, stride, out_ch, repeats).
+# Input channels are threaded dynamically (rounded previous out_ch), so the
+# config cannot silently disagree with the actual wiring.
 _BASE_STAGES = (
-    (1, 3, 1, 32, 16, 1),
-    (6, 3, 2, 16, 24, 2),
-    (6, 5, 2, 24, 40, 2),
-    (6, 3, 2, 40, 80, 3),
-    (6, 5, 1, 80, 112, 3),
-    (6, 5, 2, 112, 192, 4),
-    (6, 3, 1, 192, 320, 1),
+    (1, 3, 1, 16, 1),
+    (6, 3, 2, 24, 2),
+    (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3),
+    (6, 5, 1, 112, 3),
+    (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1),
 )
 
 
@@ -73,7 +75,6 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train):
-        from .layers import TorchBN
         return TorchBN(momentum=self.momentum, epsilon=self.epsilon,
                        dtype=self.dtype,
                        name="bn")(x, use_running_average=not train)
@@ -153,7 +154,7 @@ class EfficientNet(nn.Module):
         total_blocks = sum(round_repeats(r, depth) for *_, r in _BASE_STAGES)
         block_idx = 0
         in_ch = stem
-        for s_idx, (er, k, s, _, c_out, r) in enumerate(_BASE_STAGES):
+        for s_idx, (er, k, s, c_out, r) in enumerate(_BASE_STAGES):
             out_ch = round_filters(c_out, width)
             for i in range(round_repeats(r, depth)):
                 stride = s if i == 0 else 1

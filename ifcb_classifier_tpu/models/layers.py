@@ -81,7 +81,13 @@ class TorchBN(nn.Module):
                 # reductions XLA fuses into a single read of the conv
                 # output (two-pass measured 2.5x slower end-to-end on TPU:
                 # 747 vs 1,879 img/s inception@299 b128)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                # clamp: f32 cancellation on a large-mean near-constant
+                # channel (mean² ≫ var) can make E[x²]−E[x]² slightly
+                # NEGATIVE, and rsqrt(var+eps) would then NaN the whole
+                # step. The two-pass branch above can't go negative.
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean),
+                    0.0)
             if not self.is_initializing():
                 n = x.size // c
                 m = self.momentum

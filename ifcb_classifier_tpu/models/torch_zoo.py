@@ -519,10 +519,10 @@ _EFFICIENTNET_CFGS = {
     "efficientnet_b4": (1.4, 1.8, 0.4), "efficientnet_b5": (1.6, 2.2, 0.4),
     "efficientnet_b6": (1.8, 2.6, 0.5), "efficientnet_b7": (2.0, 3.1, 0.5),
 }
-_EFF_BASE_STAGES = (
-    (1, 3, 1, 32, 16, 1), (6, 3, 2, 16, 24, 2), (6, 5, 2, 24, 40, 2),
-    (6, 3, 2, 40, 80, 3), (6, 5, 1, 80, 112, 3), (6, 5, 2, 112, 192, 4),
-    (6, 3, 1, 192, 320, 1))
+_EFF_BASE_STAGES = (  # (expand_ratio, kernel, stride, out_ch, repeats)
+    (1, 3, 1, 16, 1), (6, 3, 2, 24, 2), (6, 5, 2, 40, 2),
+    (6, 3, 2, 80, 3), (6, 5, 1, 112, 3), (6, 5, 2, 192, 4),
+    (6, 3, 1, 320, 1))
 
 
 def _round_filters(c, width_mult, divisor=8):
@@ -543,7 +543,7 @@ class EfficientNet(nn.Module):
         stem = _round_filters(32, width)
         feats = [_cna(3, stem, 3, 2, bn_eps=bn_eps, bn_mom=bn_mom)]
         in_ch = stem
-        for er, k, s, _, c_out, reps in _EFF_BASE_STAGES:
+        for er, k, s, c_out, reps in _EFF_BASE_STAGES:
             out_ch = _round_filters(c_out, width)
             stage = []
             for r in range(int(math.ceil(depth * reps))):

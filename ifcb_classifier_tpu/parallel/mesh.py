@@ -52,7 +52,12 @@ def _spec_for_param(path: str, leaf, mesh: Mesh) -> P:
     is_head = any(t in path for t in ("fc", "classifier"))
     if is_head and getattr(leaf, "ndim", 0) == 2 and leaf.shape[1] % n_model == 0:
         return P(None, "model")
-    if is_head and getattr(leaf, "ndim", 0) == 1 and leaf.shape[0] % n_model == 0:
+    if (is_head and "conv" not in path and getattr(leaf, "ndim", 0) == 1
+            and leaf.shape[0] % n_model == 0):
+        # Dense-head bias only: squeezenet's CONV head keeps its 4-D kernel
+        # replicated (the 2-D rule above never fires for it), so sharding
+        # its bias alone would just force a reshard against a replicated
+        # conv output every step
         return P("model")
     return P()
 
@@ -93,7 +98,7 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] % n == 0:
-            out[k] = jax.device_put(v, NamedSharding(mesh, P("data")))
+            out[k] = jax.device_put(v, sh)
         elif hasattr(v, "shape"):
             out[k] = jax.device_put(v, replicated(mesh))
         else:

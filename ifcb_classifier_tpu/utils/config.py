@@ -82,9 +82,10 @@ def parse_mesh(spec, n_devices):
     shape). The product must cover every visible device exactly — a silent
     partial mesh would strand chips. Validated here, once, so TRAIN and RUN
     cannot drift."""
-    if spec in (None, "", "auto"):
+    spec_n = str(spec).strip().lower() if spec is not None else None
+    if spec_n in (None, "", "auto"):
         return n_devices, 1
-    parts = str(spec).lower().replace("×", "x").split("x")
+    parts = spec_n.replace("×", "x").split("x")
     try:
         n_data = int(parts[0])
         n_model = int(parts[1]) if len(parts) > 1 else 1
@@ -119,5 +120,8 @@ def resolve_dtype(precision):
         # not a compute dtype — TRAIN and other callers must reject it loudly
         raise ValueError("--precision int8 applies to RUN only "
                          "(post-training quantization of a trained model)")
-    return {"bf16": jnp.bfloat16, "fp32": jnp.float32,
-            "f32": jnp.float32}[precision]
+    table = {"bf16": jnp.bfloat16, "fp32": jnp.float32}
+    if precision not in table:
+        raise ValueError(f"unknown precision {precision!r} "
+                         "(choose auto, bf16, fp32, or int8 for RUN)")
+    return table[precision]

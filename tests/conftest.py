@@ -20,9 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 # are platform-keyed so CPU test executables coexist with TPU ones). The
 # full suite is compile-dominated — warm reruns skip most of it. Opt out
 # with IFCBNN_TEST_NO_CACHE=1 (e.g. to measure true cold-compile time).
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root — needed regardless of cache
 if os.environ.get("IFCBNN_TEST_NO_CACHE") != "1":
-    import sys as _sys
-    _sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
     enable_compile_cache()

@@ -108,6 +108,26 @@ class TestForward:
         assert logits.shape == (2, 11)
 
 
+class TestBatchNormVarianceClamp:
+    def test_near_constant_large_mean_channel_stays_finite(self):
+        """bf16 path uses one-pass E[x²]−E[x]²; f32 cancellation on a
+        large-mean near-constant channel can make it slightly negative, and
+        rsqrt(var+eps) would NaN the whole step without the clamp."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models.layers import TorchBN
+
+        x = jnp.full((64, 7, 7, 4), 37.161, jnp.bfloat16) + \
+            jax.random.normal(jax.random.PRNGKey(0), (64, 7, 7, 4),
+                              jnp.bfloat16) * 1e-4
+        bn = TorchBN(dtype=jnp.bfloat16)
+        v = bn.init(jax.random.PRNGKey(1), x, use_running_average=False)
+        y, mut = bn.apply(v, x, use_running_average=False,
+                          mutable=["batch_stats"])
+        assert bool(jnp.isfinite(y.astype(jnp.float32)).all())
+        assert float(mut["batch_stats"]["var"].min()) >= 0.0
+
+
 class TestInceptionSizeGuard:
     def test_small_input_raises_clearly(self):
         """Sub-299 training inputs would silently NaN through the aux tower

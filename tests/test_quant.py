@@ -245,6 +245,54 @@ class TestQuantService:
         assert sorted(os.listdir(out)) == ["D20240401T000000_IFCB900.json",
                                            "D20240402T000000_IFCB900.json"]
 
+    def test_gobig_serves_int8_scores_match_per_bin(self, tmp_path):
+        """The high-throughput deployment combination: --gobig + --precision
+        int8 in ONE run. Cross-bin batches route through the same lazy-
+        calibration _dispatch hook. Scores agree with a per-bin int8 run at
+        the standard PTQ gate but not bitwise: lazy calibration sees a
+        DIFFERENT first batch (gobig packs ROIs across bins; per-bin sees
+        bin 1 alone), so the frozen activation scales differ slightly —
+        pin scales with EXPORT --precision int8 --calib when bit-stability
+        across serving modes matters."""
+        import argparse
+        import json as _json
+
+        from ifcb_classifier_tpu.infer import runner
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+
+        model = get_namebrand_model("resnet18", 2)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(6),
+                                              32)
+        ck = str(tmp_path / "m.ptl")
+        save_checkpoint(ck, params, stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="m", seed=1, img_norm=None))
+        root = tmp_path / "bins"
+        pids = [f"D2024041{i}T000000_IFCB900" for i in (1, 2, 3)]
+        for i, p in enumerate(pids):
+            write_bin(str(root), p,
+                      [make_roi(16, 20, i), make_roi(10, 10, i + 3)], 2)
+
+        def run(out, gobig):
+            runner.do_run(argparse.Namespace(
+                cmd_mode="RUN", SRC=str(root), MODEL=ck, RUN_ID="r",
+                batch_size=8, loaders=1, src_type="bin", outdir=out,
+                outfile=["{BIN_ID}.json"], filter=None, clobber=False,
+                gobig=gobig, cmd_timestamp="2026-08-16T00:00:00+00:00",
+                precision="int8"))
+
+        run(str(tmp_path / "go"), True)
+        run(str(tmp_path / "per"), False)
+        import os
+        for p in pids:
+            a = _json.load(open(os.path.join(tmp_path, "go", p + ".json")))
+            b = _json.load(open(os.path.join(tmp_path, "per", p + ".json")))
+            sa = np.asarray(a["output_scores"])
+            sb = np.asarray(b["output_scores"])
+            assert (sa.argmax(1) == sb.argmax(1)).all()
+            np.testing.assert_allclose(sa, sb, atol=2e-2)
+
 
 class TestResidentGraph:
     """int8-RESIDENT graphs (models/quant_graph.py for inception,

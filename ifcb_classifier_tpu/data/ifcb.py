@@ -13,7 +13,8 @@ neuston_callbacks.py:176-182) with a clean host-side ingestion module:
   * DataDirectory — recursive bin discovery with whitelist/blacklist filters
 
 Everything here is host-side numpy; ROI pixel extraction is zero-copy byte
-slicing out of a single mmap'd .roi read, feeding the device prefetch pipeline
+slicing out of a single bulk .roi read (one heap buffer per bin; views pin
+it for their lifetime), feeding the device prefetch pipeline
 (data/pipeline.py).
 
 IFCB on-disk format (public instrument format):
@@ -313,15 +314,28 @@ class DataDirectory:
     by path for determinism.
     """
 
-    def __init__(self, path: str, whitelist=None, blacklist=None):
+    def __init__(self, path: str, whitelist=None, blacklist=None,
+                 exact=False):
         self.path = path
         self.whitelist = list(whitelist) if whitelist else None
         self.blacklist = list(blacklist) if blacklist else None
+        # exact=True: whitelist entries must EQUAL the pid (the .txt
+        # bin-list and single-bin paths in infer/runner.py — substring
+        # matching would also pick up prefix-sibling bins, e.g. a listed
+        # ..._IFCB101 silently classifying ..._IFCB1011 too)
+        self.exact = bool(exact)
         self._found = None  # discovery cache (see _discover)
 
     def _match(self, basepath: str) -> bool:
         pid = os.path.basename(basepath)
-        hay = basepath + "|" + pid
+        if self.exact:
+            return pid in (self.whitelist or ())
+        # match against the pid and the path RELATIVE to the search root —
+        # NEVER the absolute root itself: a keyword occurring in the SRC
+        # path (e.g. RUN /data/ifcb_test_deploy --filter OUT test) would
+        # otherwise filter every bin
+        rel = os.path.relpath(basepath, self.path)
+        hay = rel + "|" + pid
         if self.whitelist is not None:
             if not any(k in hay for k in self.whitelist):
                 return False

@@ -796,11 +796,13 @@ def do_run(args, engine=None):
                 parent = (os.path.dirname(bins[0]) if len(bins) == 1
                           else os.path.commonpath(bins))
                 return DataDirectory(parent, whitelist=[os.path.basename(b)
-                                                        for b in bins])
+                                                        for b in bins],
+                                     exact=True)
             # single bin
             parent = os.path.dirname(args.SRC)
             bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
-            return DataDirectory(parent, whitelist=[bin_id])
+            return DataDirectory(parent, whitelist=[bin_id],
+                                 exact=True)
 
         # multi-host fleet: each process takes every P-th bin — the job-level
         # fan-out the reference delegated to SLURM submission

@@ -113,6 +113,37 @@ class TestDataDirectory:
         dd = DataDirectory(str(tmp_path), blacklist=["IFCB901"])
         assert len(dd) == 2
 
+    def test_keyword_in_search_root_path_does_not_match(self, tmp_path):
+        """Filters match the pid and the SRC-relative path, never the
+        absolute root: RUN /data/ifcb_test_deploy --filter OUT test must
+        not skip every bin."""
+        from ifcb_classifier_tpu.data.ifcb import DataDirectory
+        root = tmp_path / "ifcb_test_deploy"
+        for pid in ("D20240101T000000_IFCB900", "D20240102T000000_IFCB900"):
+            write_bin(str(root), pid, [make_roi(5, 5)], 2)
+        assert len(DataDirectory(str(root), blacklist=["test"])) == 2
+        assert len(DataDirectory(str(root), whitelist=["test"])) == 0
+        # relative SUBDIR components still participate
+        write_bin(str(root / "testsub"), "D20240103T000000_IFCB900",
+                  [make_roi(5, 5)], 2)
+        assert len(DataDirectory(str(root), blacklist=["testsub"])) == 2
+
+    def test_exact_whitelist_rejects_prefix_siblings(self, tmp_path):
+        """The single-bin / .txt-list paths use exact pid equality: a
+        whitelist of ..._IFCB101 must not also classify ..._IFCB1011."""
+        from ifcb_classifier_tpu.data.ifcb import DataDirectory
+        write_bin(str(tmp_path), "D20240101T000000_IFCB101",
+                  [make_roi(5, 5)], 2)
+        write_bin(str(tmp_path), "D20240101T000000_IFCB1011",
+                  [make_roi(5, 5)], 2)
+        dd = DataDirectory(str(tmp_path),
+                           whitelist=["D20240101T000000_IFCB101"],
+                           exact=True)
+        assert [b.pid.pid for b in dd] == ["D20240101T000000_IFCB101"]
+        # non-exact (keyword prefilter) keeps substring semantics
+        assert len(DataDirectory(str(tmp_path),
+                                 whitelist=["IFCB101"])) == 2
+
     def test_ignores_orphan_adc(self, tmp_path):
         self._make_three(tmp_path)
         (tmp_path / "D20220101T000000_IFCB900.adc").write_text("0,0\n")

@@ -314,6 +314,8 @@ class InferenceEngine:
 
         Dispatches all chunks asynchronously and fetches once at the end, so
         host→device transfer of chunk k+1 overlaps compute of chunk k."""
+        if not images:
+            return np.zeros((0, len(self.classes)), np.float32)
         pending, ns = [], []
         B = self.batch_size
         for start in range(0, len(images), B):
@@ -430,9 +432,14 @@ def _roi_bounds_error(roi_buf, keep, heights, widths, starts):
     gobig aggregator so the two cannot drift (same rationale as
     _split_oversized): returns a ValueError to raise/report, or None.
     Catches negative startByte (would wrap via Python negative indexing and
-    silently classify wrong bytes) and out-of-range ends (truncated .roi)."""
-    bad = np.nonzero((starts < 0) |
-                     (starts + heights * widths > roi_buf.size))[0]
+    silently classify wrong bytes) and out-of-range ends (truncated .roi).
+    Overflow-safe like the native packer (roipack.cpp): h*w near 2^32 wraps
+    int64 and would bypass a naive `s + h*w > size` check."""
+    size = np.int64(roi_buf.size)
+    wpos = np.maximum(widths, 1)
+    bad = np.nonzero((heights <= 0) | (widths <= 0) | (starts < 0) |
+                     (starts > size) |
+                     (heights > (size - starts) // wpos))[0]
     if bad.size:
         return ValueError(
             "corrupt bin: ROI byte range out of bounds for target(s) "
@@ -535,14 +542,33 @@ class _GobigAggregator:
                  int(starts[i]), int(heights[i]), int(widths[i])))
             q = self.queues[S]
             if len(q) >= self.engine.batch_size:
-                self._dispatch(S, q[:self.engine.batch_size])
+                batch_items = q[:self.engine.batch_size]
+                # consume BEFORE dispatching: a failed dispatch must not
+                # leave a poisoned head that every later add_bin retries
                 self.queues[S] = q[self.engine.batch_size:]
+                self._dispatch(S, batch_items)
 
     def _dispatch(self, S, items):
         """Pack `items` (<= batch_size) into one canvas batch and dispatch.
         Packing runs per same-buffer fragment through the native packer,
         then fragments concatenate; the tail pads with 1x1 rows (eval mode
-        — pad rows are sliced off before routing, BN stats never update)."""
+        — pad rows are sliced off before routing, BN stats never update).
+
+        A SYNCHRONOUS failure (packer tripwire, compile/OOM on a new bucket
+        shape) is contained like _drain_one's poisoned fetch: every bin
+        with rows in THIS batch gets its own error record; the error never
+        propagates to whichever unrelated bin happened to trigger the
+        batch fill. Rows of a dropped bin still queued elsewhere route to
+        a dead key and are skipped on drain."""
+        try:
+            self._dispatch_inner(S, items)
+        except Exception as e:
+            for key in {it[0] for it in items}:
+                b = self.bins.pop(key, None)
+                if b is not None:
+                    self.on_error(b["obj"], e)
+
+    def _dispatch_inner(self, S, items):
         from .. import native
 
         B = self.engine.bucket_for(len(items))
@@ -719,8 +745,11 @@ def do_run(args, engine=None):
     def rank_suffixed(fname):
         """Per-process output name in a multi-host fleet: each process only
         sees its own bin shard, so hosts must not clobber one shared file
-        (last-writer-wins would under-report counts and hide errors)."""
-        if jax.process_count() == 1:
+        (last-writer-wins would under-report counts and hide errors).
+        img mode is exempt: it runs on process 0 ONLY (single-file output
+        contract), so a suffix would just hide the documented filename from
+        monitoring consumers."""
+        if jax.process_count() == 1 or args.src_type == "img":
             return fname
         stem, ext = os.path.splitext(fname)
         return "{}.r{}{}".format(stem, jax.process_index(), ext)
@@ -795,9 +824,18 @@ def do_run(args, engine=None):
                 # commonpath of a single entry is the entry itself — use its dir
                 parent = (os.path.dirname(bins[0]) if len(bins) == 1
                           else os.path.commonpath(bins))
-                return DataDirectory(parent, whitelist=[os.path.basename(b)
-                                                        for b in bins],
-                                     exact=True)
+                # entries may be basepaths OR .adc/.roi paths (the single-bin
+                # SRC branch accepts both); pids compare extension-stripped.
+                # Bare names have no parent — walk the cwd, not os.walk('')
+                # (which silently yields nothing).
+                dd = DataDirectory(parent or ".", whitelist=[
+                    os.path.splitext(os.path.basename(b))[0] for b in bins],
+                    exact=True)
+                if len(dd) == 0:
+                    raise ValueError(
+                        "bin list {} matched no bins under {!r} — check "
+                        "the listed paths".format(args.SRC, parent or "."))
+                return dd
             # single bin
             parent = os.path.dirname(args.SRC)
             bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
@@ -944,37 +982,48 @@ def do_run(args, engine=None):
                             k in str(bin_obj) for k in filter_keywords):
                         continue
 
-                newest = 0.0
-                if watch:
-                    # quiescence gate: the instrument writes .adc/.roi/.hdr
-                    # incrementally — don't classify a bin still being
-                    # written; defer until its files have been stable for a
-                    # full settle window (--watch-settle, default the watch
-                    # interval). A bin misjudged complete still self-heals:
-                    # the staleness check below reclassifies it once it
-                    # grows past its outputs.
-                    newest = max((os.path.getmtime(p) for p in
-                                  (bin.adc_path, bin.roi_path, bin.hdr_path)
-                                  if os.path.isfile(p)), default=0)
-                    if time.time() - newest < settle:
-                        continue
+                try:
+                    newest = 0.0
+                    if watch:
+                        # quiescence gate: the instrument writes
+                        # .adc/.roi/.hdr incrementally — don't classify a
+                        # bin still being written; defer until its files
+                        # have been stable for a full settle window
+                        # (--watch-settle, default the watch interval). A
+                        # bin misjudged complete still self-heals: the
+                        # staleness check below reclassifies it once it
+                        # grows past its outputs.
+                        newest = max((os.path.getmtime(p) for p in
+                                      (bin.adc_path, bin.roi_path,
+                                       bin.hdr_path)
+                                      if os.path.isfile(p)), default=0)
+                        if time.time() - newest < settle:
+                            continue
 
-                if not args.clobber:
-                    fmt = _bin_fmt(bin_obj)
-                    ofiles = [os.path.join(args.outdir, o).format(**fmt)
-                              .replace(2 * os.sep, os.sep)
-                              for o in args.outfile]
-                    if all(os.path.isfile(o) for o in ofiles):
-                        if not watch:
-                            print("{} result-file(s) already exist - skipping "
-                                  "this bin".format(bin_obj))
-                            continue
-                        # watch: outputs older than the bin's newest file
-                        # mean the bin GREW after classification (writes
-                        # resumed post-settle) — reclassify; fresh outputs
-                        # skip as usual
-                        if min(os.path.getmtime(o) for o in ofiles) >= newest:
-                            continue
+                    if not args.clobber:
+                        fmt = _bin_fmt(bin_obj)
+                        ofiles = [os.path.join(args.outdir, o).format(**fmt)
+                                  .replace(2 * os.sep, os.sep)
+                                  for o in args.outfile]
+                        if all(os.path.isfile(o) for o in ofiles):
+                            if not watch:
+                                print("{} result-file(s) already exist - "
+                                      "skipping this bin".format(bin_obj))
+                                continue
+                            # watch: outputs older than the bin's newest
+                            # file mean the bin GREW after classification
+                            # (writes resumed post-settle) — reclassify;
+                            # fresh outputs skip as usual
+                            if min(os.path.getmtime(o)
+                                   for o in ofiles) >= newest:
+                                continue
+                except OSError as e:
+                    # TOCTOU: a file deleted/renamed between isfile() and
+                    # getmtime() (instrument rotation, NFS hiccup) is a
+                    # per-bin incident with backoff retry — it must never
+                    # kill a months-long watch service
+                    record_error(bin_obj, e)
+                    continue
 
                 try:
                     maybe_profile()

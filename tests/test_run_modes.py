@@ -864,6 +864,151 @@ class TestGobigPoisonedBatch:
         assert set(results) == {pids[2]}
 
 
+class TestGobigSyncDispatchFailure:
+    def test_sync_dispatch_failure_errors_its_bins_only(self, ckpt, tmp_path,
+                                                        monkeypatch):
+        """A SYNCHRONOUS dispatch failure (compile/OOM on a new bucket
+        shape) must error-record the bins in that batch — not whichever
+        unrelated bin triggered the batch fill — and leave the aggregator
+        usable with no poisoned queue head."""
+        from ifcb_classifier_tpu.data.ifcb import Bin
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+
+        engine = InferenceEngine(ckpt, batch_size=8)
+        root = tmp_path / "bins"
+        pids = [f"D2025062{i}T000000_IFCB900" for i in (1, 2, 3)]
+        bins = []
+        for i, p in enumerate(pids):
+            write_bin(str(root), p, [make_roi(12, 14, i)], 2)
+            bins.append(Bin(str(root / (p + ".adc"))))
+
+        results, errors = {}, {}
+        agg = engine.gobig(
+            lambda obj, t, pr: results.__setitem__(str(obj), pr),
+            lambda obj, e: errors.__setitem__(str(obj), e))
+
+        real_dispatch = engine._dispatch
+        calls = []
+
+        def failing_dispatch(canvas, sizes):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("simulated compile failure")
+            return real_dispatch(canvas, sizes)
+
+        monkeypatch.setattr(engine, "_dispatch", failing_dispatch)
+        agg.add_bin(bins[0], bins[0].pid)
+        agg.add_bin(bins[1], bins[1].pid)
+        agg.flush()  # one batch, dispatch raises synchronously
+        assert set(errors) == {pids[0], pids[1]} and not results
+        assert "compile failure" in str(errors[pids[0]])
+
+        agg.add_bin(bins[2], bins[2].pid)  # aggregator still usable
+        agg.flush()
+        assert set(results) == {pids[2]}
+
+
+class TestTxtListRobustness:
+    def test_entries_with_adc_extension_match(self, ckpt, bin_tree,
+                                              tmp_path):
+        """.txt entries may be .adc paths (the single-bin SRC branch
+        accepts those too); pids compare extension-stripped."""
+        from ifcb_classifier_tpu.infer.runner import do_run
+        lst = tmp_path / "bins.txt"
+        lst.write_text(str(bin_tree / "x" / "D20240101T000000_IFCB900.adc")
+                       + "\n")
+        out = str(tmp_path / "out")
+        do_run(run_args(str(lst), ckpt, out))
+        assert sorted(os.listdir(out)) == ["D20240101T000000_IFCB900.json"]
+
+    def test_list_matching_nothing_is_loud(self, ckpt, bin_tree, tmp_path):
+        """A list whose entries match no bins must raise, not print
+        'RUN IS DONE (0 bins)' — a silent data gap."""
+        from ifcb_classifier_tpu.infer.runner import do_run
+        lst = tmp_path / "bins.txt"
+        lst.write_text(str(bin_tree / "x" / "D20990101T000000_IFCB900")
+                       + "\n")
+        with pytest.raises(ValueError, match="matched no bins"):
+            do_run(run_args(str(lst), ckpt, str(tmp_path / "out")))
+
+
+class TestEngineEdgeCases:
+    def test_predict_images_empty_list(self, ckpt):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        engine = InferenceEngine(ckpt, batch_size=8)
+        out = engine.predict_images([])
+        assert out.shape == (0, 2)
+
+    def test_overflowing_adc_dims_fail_loudly_both_paths(self, ckpt,
+                                                         tmp_path):
+        """startByte/dims whose product wraps int64 must fail the BIN (both
+        predict_bin and gobig add_bin), never pass the bounds check into
+        the packer (roipack.cpp parity)."""
+        from ifcb_classifier_tpu.data.ifcb import ADC_COLUMNS_V2, Bin
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+
+        base = write_bin(str(tmp_path), "D20250801T000000_IFCB900",
+                         [make_roi(10, 10, 2)], 2)
+        lines = open(base + ".adc").read().rstrip("\n").split("\n")
+        cells = lines[0].split(",")
+        cells[ADC_COLUMNS_V2.index("startByte")] = str(2 ** 62)
+        cells[ADC_COLUMNS_V2.index("roiWidth")] = str(2 ** 31)
+        cells[ADC_COLUMNS_V2.index("roiHeight")] = str(2 ** 31)
+        open(base + ".adc", "w").write(",".join(cells) + "\n")
+
+        engine = InferenceEngine(ckpt, batch_size=8)
+        b = Bin(base + ".adc")
+        with pytest.raises(ValueError, match="out of bounds"):
+            engine.predict_bin(b)
+        errors = {}
+        agg = engine.gobig(lambda *a: None,
+                           lambda obj, e: errors.__setitem__(str(obj), e))
+        agg.add_bin(b, b.pid)
+        agg.flush()
+        assert errors and "out of bounds" in str(list(errors.values())[0])
+
+
+class TestWatchStatRaces:
+    def test_vanishing_bin_file_does_not_kill_the_service(self, ckpt,
+                                                          tmp_path,
+                                                          monkeypatch,
+                                                          capsys):
+        """A file deleted between isfile() and getmtime() (instrument
+        rotation, NFS hiccup) is a per-bin incident with backoff — the
+        watch service must keep running and classify the bin later."""
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pid = "D20250810T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(12, 14, 1)], 2)
+        out = str(tmp_path / "out")
+
+        real_getmtime = os.path.getmtime
+        fails = []
+
+        def flaky_getmtime(p):
+            if not fails and str(p).endswith(".roi"):
+                fails.append(1)
+                raise OSError("vanished (simulated)")
+            return real_getmtime(p)
+
+        monkeypatch.setattr(runner.os.path, "getmtime", flaky_getmtime)
+
+        class FakeTime:
+            def time(self):
+                return real_time.time() + 1e6
+
+            def sleep(self, s):
+                pass
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=4))
+        assert os.path.isfile(os.path.join(out, pid + ".json"))
+        assert "vanished" in capsys.readouterr().out
+
+
 class TestWatchBackoffReset:
     def test_success_resets_failure_backoff(self, ckpt, tmp_path,
                                             monkeypatch, capsys):

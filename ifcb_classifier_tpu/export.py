@@ -102,7 +102,10 @@ def export_model(ckpt_path: str, output: str | None = None,
 
     params, batch_stats, hparams = load_checkpoint(ckpt_path)
     classes = hparams["classes"]
-    resize = hparams["resize"]
+    from .models import input_size_for
+    # same fallback as export_onnx: hand-built/external checkpoints may
+    # lack the resize hparam
+    resize = int(hparams.get("resize") or input_size_for(hparams["MODEL"]))
     quant = precision == "int8"
     dtype = jnp.bfloat16 if (half or quant) else jnp.float32
     # pretrained round-trips from the checkpoint: torchvision semantics make
@@ -300,6 +303,11 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
             "{} looks like a raw checkpoint, not an exported artifact — "
             "run `ifcbnn-export EXPORT {}` first".format(model_path,
                                                          model_path))
+    if model_path.endswith(".onnx"):
+        raise ValueError(
+            "{} is an ONNX artifact for onnxruntime deployments; this RUN "
+            "loads the StableHLO artifact (`ifcbnn-export EXPORT` default "
+            "format)".format(model_path))
     import jax.numpy as jnp
     from jax import export as jexport
 

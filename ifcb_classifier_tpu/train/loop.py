@@ -109,8 +109,30 @@ def do_training(args):
         validate_plot_files(args.plot_files, which="train")
     from ..utils.config import parse_mesh
     parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
+    _resolve_dtype(getattr(args, "precision", None))  # int8 rejected HERE,
+    if args.img_norm:                  # not minutes into a large tree walk
+        parse_imgnorm(args.img_norm)
+    for rf in (getattr(args, "result_files", None) or []):
+        if "{" in rf[0]:
+            try:  # same fail-fast rule as --plot: a typo'd placeholder
+                rf[0].format(epoch=0)  # must not crash at the first best
+            except (KeyError, IndexError, ValueError):  # epoch, hours in
+                raise ValueError(
+                    "--results {}: unknown FNAME placeholder; available: "
+                    "{{epoch}}".format(rf[0])) from None
 
     args.seed = seed_everything(args.seed)
+
+    # multi-host: every rank runs the IDENTICAL command (sbatch renders one
+    # srun line), so a shared --outdir would have N ranks racing the same
+    # checkpoint/csv/manifest writes (tmp+rename collides and kills the
+    # fleet mid-run). Rank 0 owns the documented outdir; other ranks write
+    # their byte-identical copies under rank{i}/ (state is replicated —
+    # useful for cross-rank verification, never racing).
+    if jax.process_count() > 1 and jax.process_index() > 0:
+        args.outdir = os.path.join(args.outdir,
+                                   f"rank{jax.process_index()}")
+    os.makedirs(args.outdir, exist_ok=True)
 
     # Datasets + manifests (neuston_net.py:68-75)
     training_dataset, validation_dataset = get_trainval_datasets(args)
@@ -353,11 +375,11 @@ def do_training(args):
             losses.append(loss)          # device scalars — fetched once below
             probs_l.append(probs)
             ns.append(n)
-            classes_l.append(b["labels"][:n])
-            if n_proc == 1:  # paths used only by the single-host return
+            if n_proc == 1:  # labels/paths used only by this host's return
+                classes_l.append(b["labels"][:n])
                 srcs.extend(val_loader.items[i] for i in b["indices"][:n])
-            else:  # indices ride the allgather; paths resolve from them
-                gathered_idx.append(b["indices"][:n])
+            else:  # indices ride the allgather; labels/paths resolve from
+                gathered_idx.append(b["indices"][:n])  # the global manifest
         # f64 accumulation: per-batch losses were Python floats in the
         # reference (.item()), so the epoch sum must not lose f32 bits —
         # the strictly-less best-epoch comparison rides on it
@@ -483,10 +505,18 @@ def do_training(args):
                     counts_perclass=validation_dataset.count_perclass,
                     model_id=args.model_id, epoch=epoch)
 
-        save_train_state(last_state_path, state, dict(
-            epoch=epoch, best_val_loss=best_val_loss, best_epoch=best_epoch,
-            best_ckpt_path=best_ckpt_path, csv_rows=epoch_csv.rows,
-            rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
+        # IFCBNN_STATE_EVERY=N thins the resume-state cadence: the full
+        # params+moments fetch/write every epoch (~300 MB for inception+
+        # Adam) dominates cheap epochs on small datasets and slow links.
+        # Best epochs always save so resume never loses the selection
+        # bookkeeping; default 1 = every epoch (exact resume).
+        state_every = max(1, int(os.environ.get("IFCBNN_STATE_EVERY", "1")))
+        if is_best or (epoch + 1) % state_every == 0:
+            save_train_state(last_state_path, state, dict(
+                epoch=epoch, best_val_loss=best_val_loss,
+                best_epoch=best_epoch, best_ckpt_path=best_ckpt_path,
+                csv_rows=epoch_csv.rows,
+                rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
 
         # early stopping (EarlyStopping('val_loss', patience), neuston_net.py:58-59;
         # min_epochs gate neuston_net.py:103)

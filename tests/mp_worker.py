@@ -34,10 +34,13 @@ def main():
     from test_train_loop import make_args
 
     if mode == "train":
+        # every rank gets the SAME outdir, like the sbatch-rendered srun
+        # command — do_training itself routes rank>0 to outdir/rank{i}
+        # (the shared-outdir race fix); rank 0 owns the documented path
         src, outdir_base = sys.argv[5], sys.argv[6]
-        outdir = os.path.join(outdir_base, f"rank{rank}")
         from ifcb_classifier_tpu.train.loop import do_training
-        do_training(make_args(src, outdir, emax=2, seed=5, batch_size=8))
+        do_training(make_args(src, outdir_base, emax=2, seed=5,
+                              batch_size=8))
     elif mode in ("run", "run_gobig"):
         import argparse
         src, ckpt, outdir = sys.argv[5], sys.argv[6], sys.argv[7]

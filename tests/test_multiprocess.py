@@ -75,7 +75,9 @@ class TestTrain2Proc:
 
         per_rank = {}
         for r in range(2):
-            outdir = os.path.join(outdir_base, f"rank{r}")
+            # rank 0 owns the documented outdir; rank 1 routed to rank1/
+            outdir = (outdir_base if r == 0
+                      else os.path.join(outdir_base, f"rank{r}"))
             with open(os.path.join(outdir, "validation_images.list")) as f:
                 val_list = sorted(  # image_basenames strips extensions
                     os.path.splitext(os.path.basename(p))[0]
@@ -106,7 +108,7 @@ class TestRun2Proc:
     def test_bins_sharded_across_ranks_cover_all(self, corpus, tmp_path):
         root, src = corpus
         # a trained checkpoint from the train test's rank0 output
-        ckpt = glob.glob(os.path.join(root, "train_out", "rank0", "*.ptl"))
+        ckpt = glob.glob(os.path.join(root, "train_out", "*.ptl"))
         if not ckpt:  # train test didn't run first (e.g. -k filter)
             pytest.skip("needs the 2-proc train artifact")
         bins_dir = str(tmp_path / "bins" / "D20230101")
@@ -136,7 +138,7 @@ class TestRunGobig2Proc:
         """--gobig composes with the multi-host bin sharding: each rank
         aggregates only its own bins; union of outputs covers everything."""
         root, src = corpus
-        ckpt = glob.glob(os.path.join(root, "train_out", "rank0", "*.ptl"))
+        ckpt = glob.glob(os.path.join(root, "train_out", "*.ptl"))
         if not ckpt:
             pytest.skip("needs the 2-proc train artifact")
         bins_dir = str(tmp_path / "bins" / "D20230102")
@@ -170,7 +172,8 @@ class TestTrain4Proc:
         _launch(4, "train", src, outdir_base)
         per_rank = {}
         for r in range(4):
-            outdir = os.path.join(outdir_base, f"rank{r}")
+            outdir = (outdir_base if r == 0
+                      else os.path.join(outdir_base, f"rank{r}"))
             with open(os.path.join(outdir, "validation_images.list")) as f:
                 val_list = sorted(os.path.splitext(os.path.basename(p))[0]
                                   for p in f.read().splitlines() if p)

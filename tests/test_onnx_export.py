@@ -242,6 +242,18 @@ class TestExportPathSafety:
                          precision="int8", calib=str(tmp_path))
 
 
+class TestRunArtifactGuards:
+    def test_run_rejects_onnx_artifact_with_guidance(self, tmp_path):
+        """RUN loads StableHLO; handing it the .onnx this same CLI produces
+        must give guidance, not an opaque flatbuffer error."""
+        from ifcb_classifier_tpu.export import run_exported
+
+        p = str(tmp_path / "m.onnx")
+        open(p, "wb").write(b"\x08\x07")  # any bytes; name decides
+        with pytest.raises(ValueError, match="onnxruntime"):
+            run_exported(p, str(tmp_path))
+
+
 class TestTracedGraphParity:
     def test_torch_twin_matches_flax_for_bottleneck_family(self):
         """The exporter's fidelity argument: the traced torch module

@@ -151,6 +151,19 @@ class TestRunRoundtrip:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
 
+class TestStartupValidation:
+    def test_results_placeholder_typo_fails_before_scan(self, tmp_path):
+        """--results FNAME placeholders are validated at startup like
+        --plot: a {epochs} typo must not crash at the first best epoch."""
+        import pytest
+
+        from ifcb_classifier_tpu.train.loop import do_training
+        a = make_args(str(tmp_path / "nonexistent"), str(tmp_path / "o"))
+        a.result_files = [["results_{epochs}.json"]]
+        with pytest.raises(ValueError, match="placeholder"):
+            do_training(a)  # raises BEFORE touching the dataset dir
+
+
 class TestEpochCSVDynamicColumns:
     """epochs.csv column parity (VERDICT r2 weak#6): like the reference's
     CSVLogger (neuston_net.py:87-95), the column set is the union of every

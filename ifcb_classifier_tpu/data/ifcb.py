@@ -326,6 +326,35 @@ class DataDirectory:
         self.exact = bool(exact)
         self._found = None  # discovery cache (see _discover)
 
+    @classmethod
+    def from_basepaths(cls, entries):
+        """A DataDirectory over an EXPLICIT list of bin paths (the RUN
+        `.txt` bin-list and single-bin SRC forms): each entry (basepath or
+        .adc/.roi/.hdr path, absolute or cwd-relative) is resolved by a
+        direct stat — no tree walk — and a missing or invalid entry raises
+        naming it, instead of silently matching nothing."""
+        found, bad = [], []
+        for e in entries:
+            base, ext = os.path.splitext(e)
+            if ext not in (".adc", ".roi", ".hdr"):
+                base = e
+            try:
+                Pid(base)
+            except ValueError:
+                bad.append(f"{e} (not a valid bin pid)")
+                continue
+            if not (os.path.isfile(base + ".adc")
+                    and os.path.isfile(base + ".roi")):
+                bad.append(f"{e} (no .adc/.roi fileset)")
+                continue
+            found.append(base)
+        if bad:
+            raise ValueError("bin path(s) could not be resolved: "
+                             + "; ".join(bad[:5]))
+        dd = cls(path="")
+        dd._found = sorted(set(found))
+        return dd
+
     def _match(self, basepath: str) -> bool:
         pid = os.path.basename(basepath)
         if self.exact:

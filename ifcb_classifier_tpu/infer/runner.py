@@ -821,26 +821,16 @@ def do_run(args, engine=None):
                     bins = [b.strip() for b in f.read().splitlines()
                             if b.strip()]
                 assert bins, "bin list is empty"
-                # commonpath of a single entry is the entry itself — use its dir
-                parent = (os.path.dirname(bins[0]) if len(bins) == 1
-                          else os.path.commonpath(bins))
-                # entries may be basepaths OR .adc/.roi paths (the single-bin
-                # SRC branch accepts both); pids compare extension-stripped.
-                # Bare names have no parent — walk the cwd, not os.walk('')
-                # (which silently yields nothing).
-                dd = DataDirectory(parent or ".", whitelist=[
-                    os.path.splitext(os.path.basename(b))[0] for b in bins],
-                    exact=True)
-                if len(dd) == 0:
-                    raise ValueError(
-                        "bin list {} matched no bins under {!r} — check "
-                        "the listed paths".format(args.SRC, parent or "."))
-                return dd
-            # single bin
-            parent = os.path.dirname(args.SRC)
-            bin_id = os.path.splitext(os.path.basename(args.SRC))[0]
-            return DataDirectory(parent, whitelist=[bin_id],
-                                 exact=True)
+                # direct per-entry resolution (no tree walk): each listed
+                # basepath/.adc path is stat'd, and a missing or invalid
+                # entry raises NAMING it — never a silent 0-bin run, never
+                # a recursive scan of a large data root just to find the
+                # handful of listed bins
+                return DataDirectory.from_basepaths(bins)
+            # single bin: same direct resolution — a typo'd pid or a
+            # missing .adc/.roi fileset raises naming the path instead of
+            # printing 'RUN IS DONE (0 bins)' with exit 0
+            return DataDirectory.from_basepaths([args.SRC])
 
         # multi-host fleet: each process takes every P-th bin — the job-level
         # fan-out the reference delegated to SLURM submission

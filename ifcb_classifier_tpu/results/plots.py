@@ -255,7 +255,7 @@ def validate_plot_files(plot_files, *, which, src_type=None):
                 "{BIN_" in fname or "{INPUT_SUBDIRS}" in fname):
             raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "
                              "available with --type img")
-        if "{" in fname:
+        if "{" in fname or "}" in fname:  # lone '}' also crashes .format
             # a typo'd placeholder ({epochs}, {BIN_IDX}) would otherwise
             # pass startup validation and KeyError at the FIRST render —
             # hours into a run, the exact failure this function exists to

@@ -113,7 +113,7 @@ def do_training(args):
     if args.img_norm:                  # not minutes into a large tree walk
         parse_imgnorm(args.img_norm)
     for rf in (getattr(args, "result_files", None) or []):
-        if "{" in rf[0]:
+        if "{" in rf[0] or "}" in rf[0]:  # lone '}' also crashes .format
             try:  # same fail-fast rule as --plot: a typo'd placeholder
                 rf[0].format(epoch=0)  # must not crash at the first best
             except (KeyError, IndexError, ValueError):  # epoch, hours in
@@ -412,6 +412,7 @@ def do_training(args):
                 [va_all[g] for g in glob_idx])
 
     epoch = start_epoch
+    state_saved_epoch = -1
     step_count = 0
     for epoch in range(start_epoch, args.emax):
         # --- train ---
@@ -517,6 +518,7 @@ def do_training(args):
                 best_epoch=best_epoch, best_ckpt_path=best_ckpt_path,
                 csv_rows=epoch_csv.rows,
                 rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
+            state_saved_epoch = epoch
 
         # early stopping (EarlyStopping('val_loss', patience), neuston_net.py:58-59;
         # min_epochs gate neuston_net.py:103)
@@ -528,6 +530,16 @@ def do_training(args):
 
     if profile_open:  # run ended before N profiled steps — flush the trace
         jax.profiler.stop_trace()
+
+    # IFCBNN_STATE_EVERY>1 may leave last.state at an earlier epoch; write
+    # the FINAL epoch's state so --resume of a completed run stays a no-op
+    # (it would otherwise silently re-train and rewrite the tail outputs)
+    if epoch_csv.rows and state_saved_epoch != epoch:
+        save_train_state(last_state_path, state, dict(
+            epoch=epoch, best_val_loss=best_val_loss,
+            best_epoch=best_epoch, best_ckpt_path=best_ckpt_path,
+            csv_rows=epoch_csv.rows,
+            rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
 
     # Copy best model (neuston_net.py:117-120)
     output_path = os.path.join(args.outdir, args.model_id + ".ptl")

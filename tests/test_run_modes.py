@@ -928,7 +928,7 @@ class TestTxtListRobustness:
         lst = tmp_path / "bins.txt"
         lst.write_text(str(bin_tree / "x" / "D20990101T000000_IFCB900")
                        + "\n")
-        with pytest.raises(ValueError, match="matched no bins"):
+        with pytest.raises(ValueError, match="could not be resolved"):
             do_run(run_args(str(lst), ckpt, str(tmp_path / "out")))
 
 

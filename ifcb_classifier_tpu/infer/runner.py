@@ -310,23 +310,41 @@ class InferenceEngine:
 
     def predict_images(self, images):
         """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).
-        Returns [N, n_classes] float32 softmax scores.
+        Returns [N, n_classes] float32 softmax scores in input order.
+
+        LADDER-MAJOR packing (like predict_bin's native-packer path):
+        images are grouped by canvas ladder size BEFORE chunking, so one
+        1024-ladder image cannot inflate a whole chunk of small ROIs —
+        schema-v1 stitched bins and oversized ROIs are served exclusively
+        through here, so legacy-bin deployments would otherwise pay the
+        inflation on every mixed chunk (reference analog: the per-bin
+        loader's uniform resize, neuston_data.py:446-464, has no such
+        hazard because it never batches mixed canvas sizes).
 
         Dispatches all chunks asynchronously and fetches once at the end, so
         host→device transfer of chunk k+1 overlaps compute of chunk k."""
         if not images:
             return np.zeros((0, len(self.classes)), np.float32)
-        pending, ns = [], []
+        from ..data.pipeline import ladder_size
         B = self.batch_size
-        for start in range(0, len(images), B):
-            chunk = images[start:start + B]
-            canvas, sizes, n = pack_canvas_batch(
-                chunk, batch_size=self.bucket_for(len(chunk)),
-                rgb=chunk[0].ndim == 3)
-            pending.append(self._dispatch(canvas, sizes))
-            ns.append(n)
-        fetched = jax.device_get(pending)
-        return np.concatenate([p[:n] for p, n in zip(fetched, ns)], axis=0)
+        rgb = any(img.ndim == 3 for img in images)
+        ladders = np.asarray(
+            [ladder_size(int(max(img.shape[0], img.shape[1])))
+             for img in images])
+        out = np.zeros((len(images), len(self.classes)), np.float32)
+        pending = []  # (device probs, original row indices)
+        for S in np.unique(ladders):
+            idx = np.nonzero(ladders == S)[0]
+            for c0 in range(0, idx.size, B):
+                sel = idx[c0:c0 + B]
+                canvas, sizes, _n = pack_canvas_batch(
+                    [images[j] for j in sel],
+                    batch_size=self.bucket_for(sel.size), rgb=rgb)
+                pending.append((self._dispatch(canvas, sizes), sel))
+        for probs, sel in zip(jax.device_get([p for p, _ in pending]),
+                              [s for _, s in pending]):
+            out[sel] = probs[:sel.size]
+        return out
 
     def predict_bin(self, bin):
         """Fast path for schema-v2 bins: ROIs are packed straight from the
@@ -856,6 +874,37 @@ def do_run(args, engine=None):
         # permanently corrupt bin must not hot-loop every pass
         fail_retry = {}  # pid str -> (n_fails, earliest retry pass)
         pass_no = 0
+        # staleness EVICTION: per-bin bookkeeping for pids absent from the
+        # directory for EVICT_AFTER consecutive scans is dropped (and its
+        # aggregate contribution subtracted), so a months-long --watch on a
+        # ROTATING directory stays O(live bins), not O(service history).
+        # The aggregate summary therefore tracks the live directory — the
+        # same semantics the reclassification self-heal already chose. A
+        # pid deleted and later re-added counts as newly classified.
+        EVICT_AFTER = 3
+        absent_count = {}  # pid str -> consecutive scans missing
+
+        def evict_stale(seen_pids):
+            nonlocal agg_total, agg_counts, agg_hist
+            tracked = (done_pids | set(bin_contrib) | set(fail_retry)
+                       | set(absent_count))
+            for key in tracked:
+                if key in seen_pids:
+                    absent_count.pop(key, None)
+                    continue
+                n = absent_count.get(key, 0) + 1
+                if n < EVICT_AFTER:
+                    absent_count[key] = n
+                    continue
+                done_pids.discard(key)
+                fail_retry.pop(key, None)
+                absent_count.pop(key, None)
+                contrib = bin_contrib.pop(key, None)
+                if contrib is not None and track_agg:
+                    pc, ph, pn = contrib
+                    agg_counts -= pc
+                    agg_hist -= ph
+                    agg_total -= pn
 
         def record_error(bin_obj, e):
             nonlocal n_errors_total
@@ -899,6 +948,7 @@ def do_run(args, engine=None):
             """One sweep over SRC; returns number of bins newly classified."""
             nonlocal n_done
             new_done = 0
+            seen_pids = set()  # every pid on disk this pass (pre-filter)
 
             def emit_result(bin_obj, targets, probs):
                 """Write files/plots for one completed bin (called directly
@@ -958,6 +1008,7 @@ def do_run(args, engine=None):
                     bin.fileset.basepath.replace(args.SRC, ""))
                 bin.pid.namespace = rel + os.sep if rel else ""
                 bin_obj = bin.pid
+                seen_pids.add(str(bin_obj))
                 if proc_cnt > 1 and bin_shard_key(bin_no, bin_obj) != proc_idx:
                     continue
                 fr = fail_retry.get(str(bin_obj))
@@ -1032,6 +1083,8 @@ def do_run(args, engine=None):
                     agg.flush()
                 except Exception as e:  # systemic, not per-bin — record once
                     record_error("<gobig flush>", e)
+            if watch:
+                evict_stale(seen_pids)
             return new_done
 
         def refresh_agg_plots():

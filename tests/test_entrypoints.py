@@ -49,6 +49,30 @@ class TestHelpScreens:
         assert "TRAIN" in r.stderr and "RUN" in r.stderr
 
 
+class TestDryrunGateSelfProvisions:
+    def test_dryrun_multichip_with_stripped_env(self):
+        """The driver's multichip gate must pass with NO env help at all.
+
+        Round 3 regressed red (`MULTICHIP_r03.json` ok:false, 'need 8
+        devices, have 1') because dryrun_multichip assumed the caller's env
+        carried --xla_force_host_platform_device_count. This runs the gate
+        in a subprocess with XLA_FLAGS and JAX_PLATFORMS stripped — the
+        entry point must provision its own 8-device backend (it re-execs a
+        hermetic child). PALLAS_AXON_POOL_IPS="" only keeps the parent off
+        the real-TPU tunnel; the provisioning logic under test is identical
+        either way (parent sees <8 devices, re-execs)."""
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        code = ("import sys; sys.path.insert(0, %r); "
+                "import __graft_entry__; "
+                "__graft_entry__.dryrun_multichip(8)" % REPO)
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=1500)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        assert "dryrun_multichip OK" in r.stdout, r.stdout[-2000:]
+
+
 class TestSbatchDryRun:
     def test_renders_script_without_submitting(self, tmp_path):
         r = subprocess.run(

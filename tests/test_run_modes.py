@@ -1123,6 +1123,57 @@ class TestWatchSteadyState:
         s = json.load(open(os.path.join(out, "live.json")))
         assert s["n_bins_done"] == 3
 
+    def test_deleted_bin_bookkeeping_evicted(self, ckpt, tmp_path,
+                                             monkeypatch):
+        """Bookkeeping for bins DELETED from the watched directory is
+        dropped after 3 consecutive scans without them (VERDICT r3 weak
+        #4): map sizes track the directory, not service history — the
+        aggregate summary follows the live directory (the contribution is
+        subtracted on eviction), and a pid re-added later is classified
+        again as new (done_pids no longer pins it)."""
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pids = [f"D2025060{i + 1}T000000_IFCB900" for i in range(3)]
+        for i, p in enumerate(pids):
+            write_bin(str(root), p,
+                      [make_roi(16, 20, i), make_roi(10, 10, i + 3)], 2)
+        out = str(tmp_path / "out")
+        summaries = []
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+
+            def time(self):  # far future: every bin quiescent immediately
+                return real_time.time() + 1e6
+
+            def sleep(self, s):
+                self.sleeps += 1
+                summaries.append(json.load(
+                    open(os.path.join(out, "live.json"))))
+                if self.sleeps == 1:  # delete bin 3: files AND its output
+                    for f in os.listdir(root):
+                        if f.startswith(pids[2]):
+                            os.remove(os.path.join(root, f))
+                    os.remove(os.path.join(out, pids[2] + ".json"))
+                if self.sleeps == 6:  # re-add it well after eviction
+                    write_bin(str(root), pids[2],
+                              [make_roi(16, 20, 2), make_roi(10, 10, 5)], 2)
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                               watch_passes=8, summary="live.json"))
+        assert summaries[0]["n_rois"] == 6       # pass 1: all classified
+        assert summaries[1]["n_rois"] == 6       # pass 2: absent x1 — kept
+        assert summaries[2]["n_rois"] == 6       # pass 3: absent x2 — kept
+        assert summaries[3]["n_rois"] == 4       # pass 4: absent x3 — evicted
+        final = json.load(open(os.path.join(out, "live.json")))
+        assert final["n_rois"] == 6              # re-added and reclassified
+        assert final["n_bins_done"] == 4         # counted as NEW post-evict
+        assert os.path.isfile(os.path.join(out, pids[2] + ".json"))
+
 
 class TestRound3Hardening:
     """Round-3 fixes: watch-mode aggregate double-count on staleness

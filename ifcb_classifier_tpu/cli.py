@@ -37,7 +37,7 @@ def argparse_nn(parser=None):
 
     subparsers = parser.add_subparsers(
         dest="cmd_mode",
-        help='These sub-commands are mutually exclusive. Note: optional '
+        help='Pick exactly one sub-command. Note: optional '
              'arguments (below) must be specified before "TRAIN" or "RUN"')
     train = subparsers.add_parser("TRAIN", help="Train a new model")
     run = subparsers.add_parser("RUN", help="Run a previously trained model")
@@ -314,7 +314,7 @@ def main_cli(argv=None):
     parser = argparse_nn()
     args = parser.parse_args(argv)
     if args.cmd_mode is None:
-        parser.error('Positional Argument "TRAIN" or "RUN" must be specified.')
+        parser.error('missing sub-command: specify "TRAIN" or "RUN".')
     enable_compile_cache()
     from .parallel.distributed import initialize_from_env
     initialize_from_env()

@@ -176,7 +176,7 @@ class NeustonDataset:
         moved; d2 is the sorted set-difference.
         """
         assert ratio1 + ratio2 == 100, \
-            'ratio1:ratio2 must sum to 100, instead got {}:{} (total: {})'.format(
+            '--split percentages {}:{} add up to {}, not 100'.format(
                 ratio1, ratio2, ratio1 + ratio2)
         d1_perclass, d2_perclass = {}, {}
         for class_label, images in self.images_perclass.items():
@@ -194,7 +194,7 @@ class NeustonDataset:
         dataset1 = NeustonDataset(src=self.src, images_perclass=d1_perclass)
         dataset2 = NeustonDataset(src=self.src, images_perclass=d2_perclass)
         assert dataset1.classes == dataset2.classes, \
-            'd1-d2_classes:{}, d2-d1_classes:{}'.format(
+            'split halves disagree on classes: only-in-d1={}, only-in-d2={}'.format(
                 set(dataset1.classes) - set(dataset2.classes),
                 set(dataset2.classes) - set(dataset1.classes))
         assert len(dataset1) + len(dataset2) == len(self)
@@ -236,23 +236,23 @@ class NeustonDataset:
                 new_ipc[class_label].extend(default_ipc[base])
 
         if missing_classes_src:
-            msg = '\n{} of {} classes from src dir {} were NOT FOUND in {}'.format(
+            msg = '\n{} of {} class dirs under {} have no row in {}'.format(
                 len(missing_classes_src), len(default_ipc), src,
                 os.path.basename(csv_file))
             print('\n    '.join([msg] + missing_classes_src))
         if missing_classes_csv:
-            msg = '\n{} of {} classes from {} were NOT FOUND in src dir {}'.format(
+            msg = '\n{} of {} rows in {} match no class dir under {}'.format(
                 len(missing_classes_csv), len(base_list),
                 os.path.basename(csv_file), src)
             print('\n    '.join([msg] + missing_classes_csv))
         if grouped_classes:
-            print('\n{} GROUPED classes were created, as per {}'.format(
+            print('\n{} merged classes built from the groupings in {}'.format(
                 len(grouped_classes), os.path.basename(csv_file)))
             for mod, bases in grouped_classes.items():
                 print('  {}'.format(mod))
                 print('\n'.join('     <-- {}'.format(c) for c in bases))
         if skipped_classes:
-            msg = '\n{} classes were SKIPPED, as per {}'.format(
+            msg = '\n{} classes dropped by {}'.format(
                 len(skipped_classes), os.path.basename(csv_file))
             print('\n    '.join([msg] + skipped_classes))
 
@@ -271,7 +271,7 @@ def get_trainval_datasets(args):
     device-side concern here (ops/preprocess.py), so unlike the reference no
     transform objects are attached.
     """
-    print('Initializing Data...')
+    print('Scanning dataset...')
     if not args.class_config:
         nd = NeustonDataset(src=args.SRC, minimum_images_per_class=args.class_min,
                             maximum_images_per_class=args.class_max)
@@ -293,11 +293,11 @@ def get_trainval_datasets(args):
     ci_eval = validation_dataset.classes_ignored_from_too_few_samples
     assert ci_eval == ci_train
     if ci_nd:
-        msg = '\n{} out of {} classes ignored from --class-minimum {}, PRE-SPLIT'.format(
+        msg = '\n{} of {} classes fall below --class-minimum {} before the split'.format(
             len(ci_nd), len(nd.classes) + len(ci_nd), args.class_min)
         print('\n    '.join([msg] + ['({:2}) {}'.format(l, c) for c, l in ci_nd]))
     if ci_eval:
-        msg = '\n{} out of {} classes ignored from --class-minimum {}, POST-SPLIT'.format(
+        msg = '\n{} of {} classes fall below --class-minimum {} after the split'.format(
             len(ci_eval), len(validation_dataset.classes) + len(ci_eval), args.class_min)
         print('\n    '.join([msg] + ['({:2}) {}'.format(l, c) for c, l in ci_eval]))
 

@@ -272,12 +272,20 @@ def export_onnx(ckpt_path: str, output: str | None = None,
                                                else ".onnx")
 
     _patch_torch_onnx_serializer()
+    kwargs = dict(export_params=True, opset_version=opset,
+                  do_constant_folding=True,
+                  input_names=["input"], output_names=["output"],
+                  dynamic_axes=dynamic_axes)
     with torch.no_grad():
-        torch.onnx.export(model, dummy, output,
-                          export_params=True, opset_version=opset,
-                          do_constant_folding=True,
-                          input_names=["input"], output_names=["output"],
-                          dynamic_axes=dynamic_axes, dynamo=False)
+        try:
+            # dynamo=False pins the legacy TorchScript exporter on torch
+            # >= 2.6 (where dynamo became the default and would change the
+            # graph contract)
+            torch.onnx.export(model, dummy, output, dynamo=False, **kwargs)
+        except TypeError:
+            # older torch (< 2.6, e.g. the reference's 1.7 era): no dynamo
+            # kwarg exists and TorchScript export is already the default
+            torch.onnx.export(model, dummy, output, **kwargs)
     print("EXPORTED:", output)
 
     # strip only a TRAILING .onnx: replace() on a user --output with no
@@ -289,6 +297,65 @@ def export_onnx(ckpt_path: str, output: str | None = None,
         f.write("\n".join(classes))
     print("EXPORTED:", classes_file)
     return output
+
+
+def _run_onnx(model_path: str, src: str, classfile: str | None = None,
+              batch_size: int = 108):
+    """Serve a `.onnx` artifact via onnxruntime — the reference's
+    `neuston_onnx.py RUN` (neuston_onnx.py:68-107), available whenever
+    onnxruntime is importable (deployment boxes have it; this dev image
+    does not). Batches stream through the session like the StableHLO path
+    instead of the reference's one-giant-input-array quirk (QUIRKS.md).
+
+    The artifact contract comes from export_onnx: input "input" NCHW
+    (fp16 for .FP16.onnx artifacts), output "output" = raw logits —
+    softmax is applied post-hoc exactly like the reference."""
+    import onnxruntime as ort
+
+    from .data.datasets import list_image_paths
+    from .data.pipeline import HostLoader, prefetch
+    from .ops.preprocess import preprocess_batch
+
+    img_paths = list_image_paths(src)
+    assert img_paths, "No images to process"
+
+    sess = ort.InferenceSession(model_path)
+    inp = sess.get_inputs()[0]
+    # [batch, 3, H, W]; H/W are static in the trace. The reference
+    # hardcodes resize=299 (neuston_onnx.py:84) — reading it off the
+    # artifact serves non-299 models correctly too.
+    resize = inp.shape[2] if isinstance(inp.shape[2], int) else 299
+    half = "float16" in (inp.type or "")
+    fixed = inp.shape[0] if isinstance(inp.shape[0], int) else 0
+    if fixed and fixed != batch_size:
+        print(f"artifact was exported with fixed batch {fixed}; "
+              f"using it instead of --batch {batch_size}")
+        batch_size = fixed
+
+    loader = HostLoader(img_paths, batch_size=batch_size, rgb=True)
+    all_scores, paths = [], []
+    for b in prefetch(iter(loader)):
+        x = np.asarray(preprocess_batch(b["canvas"], b["sizes"],
+                                        out_size=resize))
+        x = x.transpose(0, 3, 1, 2)  # NHWC (ours) -> NCHW (torch trace)
+        out = sess.run(["output"], {
+            "input": x.astype(np.float16 if half else np.float32)})[0]
+        n = int(b["mask"].sum())
+        z = np.asarray(out[:n], np.float32)
+        z -= z.max(axis=1, keepdims=True)  # logits -> softmax, post-hoc
+        ez = np.exp(z)
+        all_scores.append(ez / ez.sum(axis=1, keepdims=True))
+        paths.extend(loader.items[i] for i in b["indices"][:n])
+    scores = np.concatenate(all_scores)
+    output_classes = np.argmax(scores, axis=1)
+    print(np.max(scores, axis=1))
+    print(output_classes)
+    classfile = classfile or model_path[:-len(".onnx")] + ".classes"
+    if os.path.isfile(classfile):
+        with open(classfile) as f:
+            classes = f.read().splitlines()
+        print([classes[i] for i in output_classes])
+    return scores, paths
 
 
 def run_exported(model_path: str, src: str, classfile: str | None = None,
@@ -304,10 +371,15 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
             "run `ifcbnn-export EXPORT {}` first".format(model_path,
                                                          model_path))
     if model_path.endswith(".onnx"):
-        raise ValueError(
-            "{} is an ONNX artifact for onnxruntime deployments; this RUN "
-            "loads the StableHLO artifact (`ifcbnn-export EXPORT` default "
-            "format)".format(model_path))
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError:
+            raise ValueError(
+                "{} is an ONNX artifact; serving it in-framework needs "
+                "`onnxruntime` (not installed here) — pip install "
+                "onnxruntime, or RUN the StableHLO artifact "
+                "(`ifcbnn-export EXPORT` default format)".format(model_path))
+        return _run_onnx(model_path, src, classfile, batch_size)
     import jax.numpy as jnp
     from jax import export as jexport
 
@@ -405,7 +477,7 @@ def main_cli(argv=None):
     run = sub.add_parser("RUN", help="Run an exported model")
     run.add_argument("MODEL", help="exported .stablehlo file")
     run.add_argument("SRC", help="file/dir to run the model on")
-    run.add_argument("--classfile", "-c", help="file with list of class labels")
+    run.add_argument("--classfile", "-c", help="newline-delimited class-label file (default: the artifact's .classes sidecar)")
     run.add_argument("--batch", dest="batch_size", default=108, type=int)
 
     args = parser.parse_args(argv)

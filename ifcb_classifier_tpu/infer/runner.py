@@ -1121,7 +1121,7 @@ def do_run(args, engine=None):
             jax.profiler.stop_trace()
         print("\nRUN IS DONE ({} bins)".format(n_done))
         if error_bins:
-            print("The following bins failed; they were not processed:")
+            print("Bins that errored and produced no output:")
             if n_errors_total > len(error_bins):
                 print("  (showing the most recent {} of {} failures)".format(
                     len(error_bins), n_errors_total))

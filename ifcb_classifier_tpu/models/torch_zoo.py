@@ -489,7 +489,8 @@ def _cna(i, o, k, s, groups=1, bn_eps=1e-5, bn_mom=0.1):
 
 
 class _MBConv(nn.Module):
-    def __init__(self, er, k, s, i, o, bn_eps=1e-5, bn_mom=0.1):
+    def __init__(self, er, k, s, i, o, bn_eps=1e-5, bn_mom=0.1,
+                 sd_prob=0.0):
         super().__init__()
         mid = i * er
         layers = []
@@ -503,10 +504,21 @@ class _MBConv(nn.Module):
             nn.BatchNorm2d(o, eps=bn_eps, momentum=bn_mom)))
         self.block = nn.Sequential(*layers)
         self.residual = (s == 1 and i == o)
+        self.sd_prob = sd_prob  # parameterless: state_dict layout unchanged
 
     def forward(self, x):
         out = self.block(x)
-        return out + x if self.residual else out
+        if not self.residual:
+            return out
+        if self.training and self.sd_prob > 0:
+            # per-sample ("row") stochastic depth, the torchvision MBConv
+            # regularizer and the flax twin's (models/efficientnet.py:123):
+            # identity in eval, so ONNX export and inference are unaffected
+            keep = 1.0 - self.sd_prob
+            mask = torch.empty((x.shape[0], 1, 1, 1), dtype=out.dtype,
+                               device=out.device).bernoulli_(keep)
+            out = out * mask / keep
+        return out + x
 
 
 # mirrors models/efficientnet.py EFFICIENTNET_CFGS / _BASE_STAGES
@@ -543,13 +555,20 @@ class EfficientNet(nn.Module):
         stem = _round_filters(32, width)
         feats = [_cna(3, stem, 3, 2, bn_eps=bn_eps, bn_mom=bn_mom)]
         in_ch = stem
+        total_blocks = sum(int(math.ceil(depth * reps))
+                           for *_, reps in _EFF_BASE_STAGES)
+        block_idx = 0
         for er, k, s, c_out, reps in _EFF_BASE_STAGES:
             out_ch = _round_filters(c_out, width)
             stage = []
             for r in range(int(math.ceil(depth * reps))):
+                # 0.2 linearly scaled over the global block index — the
+                # torchvision survival schedule, same as the flax model
                 stage.append(_MBConv(er, k, s if r == 0 else 1,
                                      in_ch if r == 0 else out_ch, out_ch,
-                                     bn_eps=bn_eps, bn_mom=bn_mom))
+                                     bn_eps=bn_eps, bn_mom=bn_mom,
+                                     sd_prob=0.2 * block_idx / total_blocks))
+                block_idx += 1
             in_ch = out_ch
             feats.append(nn.Sequential(*stage))
         head = 4 * in_ch

@@ -76,7 +76,7 @@ def _slurm_first_host(nodelist: str) -> str:
     return head
 
 
-def shard_manifest(items, labels=None):
+def shard_manifest(items, labels=None, shard=None, n_shards=None):
     """Per-host slice of a dataset manifest: host i takes items[i::P],
     padded so EVERY host gets exactly ceil(N/P) items (short hosts repeat
     their own first item). Equal lengths are load-bearing: every host must
@@ -84,13 +84,20 @@ def shard_manifest(items, labels=None):
     deadlock SPMD) and allgathered metadata must be identically shaped.
     Deterministic across hosts.
 
+    shard/n_shards override the (process_index, process_count) default:
+    when the mesh's 'model' axis spans processes (--mesh with data <
+    process count), processes in the same mesh data-row form a replica
+    GROUP and every member loads the group's shard, so the loop passes
+    (group, n_groups) here (train/loop.py).
+
     Returns (items, labels, n_real): entries at index >= n_real are PADS —
     repeats appended only for step-count equality. Consumers must exclude
     them from loss/metrics (HostLoader's n_real mask) or every host-count
     boundary would double-count a sample and `p + local_index*P` would
     index past the global manifest during gather reconstruction."""
     import jax
-    p, n = jax.process_index(), jax.process_count()
+    p = jax.process_index() if shard is None else shard
+    n = jax.process_count() if n_shards is None else n_shards
     if n == 1:
         return items, labels, len(items)
     if not len(items):

@@ -31,8 +31,8 @@ def save_run_results(input_images, output_scores, class_labels, timestamp,
     output_scores = np.asarray(output_scores)
     output_classes = np.argmax(output_scores, axis=1)
 
-    assert output_scores.shape[0] == len(output_classes), 'wrong number inputs-to-outputs'
-    assert output_scores.shape[1] == len(class_labels), 'wrong number of class labels'
+    assert output_scores.shape[0] == len(output_classes), 'score rows != number of inputs'
+    assert output_scores.shape[1] == len(class_labels), 'score columns != number of class labels'
 
     results = dict(version='v3', model_id=model_id, timestamp=timestamp,
                    class_labels=list(class_labels), input_images=list(input_images),
@@ -79,7 +79,7 @@ def save_run_results(input_images, output_scores, class_labels, timestamp,
 def _save_run_results(outfile, results):
     ext = os.path.splitext(outfile)[-1]
     assert ext in ['.json', '.mat', '.h5'], \
-        'output fileformat "{}" not valid'.format(ext)
+        'unsupported result-file extension "{}"'.format(ext)
     if outfile.endswith('.json'):
         _save_json(outfile, results)
     if outfile.endswith('.mat'):

@@ -58,8 +58,8 @@ def compute_validation_results(series, *, class_labels, input_classes,
     training_image_basenames = [os.path.splitext(os.path.basename(i))[0]
                                 for i in training_image_fullpaths]
 
-    assert output_scores.shape[0] == len(input_classes), 'wrong number inputs-to-outputs'
-    assert output_scores.shape[1] == len(class_labels), 'wrong number of class labels'
+    assert output_scores.shape[0] == len(input_classes), 'score rows != number of inputs'
+    assert output_scores.shape[1] == len(class_labels), 'score columns != number of class labels'
 
     stats = {}
     for mode in ['weighted', 'macro', None]:

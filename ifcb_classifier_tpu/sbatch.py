@@ -31,18 +31,18 @@ SBATCH_TEMPLATE = """#!/bin/sh
 #SBATCH --gres={GRES}
 #SBATCH --output={SLURM_LOG_DIR}/{SLURM_LOG_FILE}
 
-# SETTING OPERATIVE DIRECTORY #
+# run from the submission tree
 cd {ABS_CWD}
 
-# LOGGING JOB DETAILS #
+# job provenance in the log
 echo "Job ID: $SLURM_JOB_ID, JobName: $SLURM_JOB_NAME"
 hostname; pwd; date
 
-# SETTING UP ENVIRONMENT #
+# site environment hook (--env-setup)
 {ENV_SETUP}
-echo "Environment... Loaded"
+echo "environment ready"
 
-# DO COMMAND #
+# the training / inference command
 {CMD}
 """
 
@@ -66,7 +66,7 @@ def main(parser):
 
     args = parser.parse_args()
     if args.cmd_mode is None:
-        parser.error('Positional Argument "TRAIN" or "RUN" must be specified.')
+        parser.error('missing sub-command: specify "TRAIN" or "RUN".')
 
     from .utils.config import add_runtime_params, proc_outdir
     add_runtime_params(args)
@@ -168,7 +168,7 @@ def argparse_sbatch():
     slurm.add_argument("--ofile", default="{OUTDIR}/{PID}.{JOB_NAME}.sbatch")
     slurm.add_argument("--conda-env", default="ifcbnn")
     slurm.add_argument("--dry-run", default=False, action="store_true",
-                       help="Create the sbatch script but do not run it")
+                       help="Render the sbatch script without submitting it")
     return parser
 
 

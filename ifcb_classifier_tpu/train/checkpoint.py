@@ -37,12 +37,34 @@ def _jsonable(d: dict) -> dict:
     return out
 
 
+def _fetch_tree(tree):
+    """`jax.device_get` that also works when leaves span processes.
+
+    With `--mesh` whose 'model' axis crosses process boundaries (multi-host
+    TP), each process holds only its shard of the head kernels — plain
+    device_get raises "spans non-addressable devices". Such leaves are
+    replicated via `multihost_utils.process_allgather` (a collective: every
+    process must call the save path, which the train loop guarantees —
+    each rank writes its own outdir). Fully-addressable / replicated leaves
+    take the plain fast path, so single-host behavior is unchanged."""
+    def one(x):
+        if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+            # tiled=True is REQUIRED for global non-addressable inputs and
+            # yields the global value (global shape), not a stacked copy
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return jax.device_get(x)
+    return jax.tree_util.tree_map(one, tree)
+
+
 def save_checkpoint(path: str, params, batch_stats, hparams: dict):
     payload = {
         "format": FORMAT_TAG,
         "hparams_json": json.dumps(_jsonable(hparams)),
-        "params": jax.device_get(params),
-        "batch_stats": jax.device_get(batch_stats),
+        "params": _fetch_tree(params),
+        "batch_stats": _fetch_tree(batch_stats),
     }
     blob = flax.serialization.msgpack_serialize(payload)
     # atomic (tmp + rename), like save_train_state below: a crash mid-write
@@ -162,7 +184,7 @@ def save_train_state(path: str, state, extra: dict):
     payload = {
         "format": FORMAT_TAG + "-trainstate",
         "extra_json": json.dumps(_jsonable(extra)),
-        "state": flax.serialization.to_state_dict(jax.device_get(state)),
+        "state": flax.serialization.to_state_dict(_fetch_tree(state)),
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

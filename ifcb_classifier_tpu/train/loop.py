@@ -169,16 +169,37 @@ def do_training(args):
         print(f"Rounded batch up to {args.batch_size} "
               f"(divisible by --accum {accum})")
     local_batch = args.batch_size
+    # data GROUPS: normally each process is its own data shard. With --mesh
+    # whose 'data' axis is SMALLER than the process count, the 'model' axis
+    # spans processes — the processes in one mesh data-row form a replica
+    # group that must feed IDENTICAL local data (the data-parallel shard is
+    # replicated across the group's model-axis devices; jax's
+    # make_array_from_process_local_data requires replica hosts to pass the
+    # same rows). make_mesh reshapes jax.devices() process-major, so group =
+    # the process's data-row index.
+    n_data_g, _ = parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
+    if n_proc > 1 and n_data_g < n_proc:
+        if n_proc % n_data_g:
+            raise ValueError(
+                f"--mesh with data axis {n_data_g}: must be a multiple of "
+                f"the process count ({n_proc}) or divide it evenly")
+        n_groups, group = n_data_g, jax.process_index() * n_data_g // n_proc
+    else:
+        n_groups, group = n_proc, jax.process_index()
     if n_proc > 1:
         from ..parallel.distributed import shard_manifest
-        tr_items, tr_labels, tr_real = shard_manifest(tr_items, tr_labels)
-        va_items, va_labels, va_real = shard_manifest(va_items, va_labels)
-        local_batch = -(-args.batch_size // n_proc)
+        tr_items, tr_labels, tr_real = shard_manifest(
+            tr_items, tr_labels, shard=group, n_shards=n_groups)
+        va_items, va_labels, va_real = shard_manifest(
+            va_items, va_labels, shard=group, n_shards=n_groups)
+        local_batch = -(-args.batch_size // n_groups)
     cache_images = getattr(args, "cache_images", False)
     train_loader = HostLoader(tr_items, tr_labels,
                               batch_size=local_batch,
                               num_workers=args.loaders, shuffle=True,
-                              seed=args.seed + jax.process_index(),
+                              # group, not process_index: replica-group
+                              # members must draw the identical shuffle
+                              seed=args.seed + group,
                               balanced=getattr(args, "balanced", False),
                               n_real=tr_real, cache=cache_images)
     val_loader = HostLoader(va_items, va_labels,
@@ -261,14 +282,16 @@ def do_training(args):
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
-        if n_proc > 1 and n_data % n_proc:
+        if n_proc > 1 and n_data % n_proc and n_proc % n_data:
             # each host feeds an equal slice of the global batch
-            # (make_array_from_process_local_data below); a 'data' axis
-            # that doesn't split evenly across hosts would mis-assemble
+            # (make_array_from_process_local_data below); the 'data' axis
+            # must either split evenly across hosts (DP) or divide the
+            # host count evenly (model axis spanning hosts — replica
+            # groups, set up with the loaders above)
             raise ValueError(
                 f"--mesh {n_data}x{n_model}: the data axis must be a "
-                f"multiple of the process count ({n_proc}) in multi-host "
-                "runs")
+                f"multiple of the process count ({n_proc}) or divide it "
+                "evenly in multi-host runs")
         # each micro-batch (batch/accum rows) must itself shard evenly
         # over the 'data' axis, so the divisor is n_data*accum
         div = n_data * accum
@@ -277,7 +300,7 @@ def do_training(args):
             print(f"Rounded batch up to {args.batch_size} "
                   f"(divisible by {n_data} data-parallel devices"
                   f"{f' x --accum {accum}' if accum > 1 else ''})")
-        local_batch = args.batch_size // n_proc
+        local_batch = args.batch_size // n_groups
         train_loader.batch_size = local_batch
         val_loader.batch_size = local_batch
         mesh = make_mesh(n_data=n_data, n_model=n_model)
@@ -291,15 +314,20 @@ def do_training(args):
         eval_step = jax.jit(fused_eval,
                             out_shardings=(replicated(mesh), replicated(mesh)))
         if n_proc > 1:
-            # assemble the global batch from per-host sub-batches; XLA sees
-            # one logical [B_global, ...] array sharded over 'data'
+            # assemble the global batch from per-host (or per replica
+            # GROUP) sub-batches; XLA sees one logical [B_global, ...]
+            # array sharded over 'data'. global_shape is explicit because
+            # with model-axis-spanning groups the inference "global = local
+            # x process_count" would over-count replica hosts
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def put_batch(b):
                 out = {}
                 for k, v in b.items():
                     sh = NamedSharding(mesh, P("data"))
-                    out[k] = jax.make_array_from_process_local_data(sh, v)
+                    gshape = (v.shape[0] * n_groups,) + v.shape[1:]
+                    out[k] = jax.make_array_from_process_local_data(
+                        sh, v, gshape)
                 return out
         else:
             put_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
@@ -393,19 +421,26 @@ def do_training(args):
 
         from ..parallel.distributed import reconstruct_global_rows
         B_local = val_loader.batch_size
-        # global probs per batch: [B_global, C]; this host's rows live at
-        # [proc*B_local : proc*B_local+n]; other hosts' rows are recovered by
-        # allgathering (probs already replicated; masks/indices gathered)
+        # global probs per batch: [B_global, C]; this GROUP's rows live at
+        # [group*B_local : group*B_local+n]; other groups' rows are
+        # recovered by allgathering (probs already replicated;
+        # masks/indices gathered). With model-axis-spanning groups the
+        # gather carries duplicate replica metadata — keep one
+        # representative process per group (the first; process order is
+        # mesh data-row-major), so reconstruction sees exactly n_groups
+        # distinct shards
         probs_g = jax.device_get(probs_l)
         local_meta = dict(
             ns=np.asarray(ns, np.int32),
             idx=np.stack([np.pad(i, (0, B_local - len(i)), constant_values=-1)
                           for i in gathered_idx]))
         meta = multihost_utils.process_allgather(local_meta, tiled=False)
+        reps = [g * (n_proc // n_groups) for g in range(n_groups)]
         va_all = validation_dataset.images
         lab_all = validation_dataset.targets
         all_probs, glob_idx = reconstruct_global_rows(
-            probs_g, meta["ns"], meta["idx"], n_proc, B_local, len(va_all))
+            probs_g, meta["ns"][reps], meta["idx"][reps], n_groups,
+            B_local, len(va_all))
         losses = jax.device_get(losses)
         return (float(np.sum(losses, dtype=np.float64)), all_probs,
                 np.asarray([lab_all[g] for g in glob_idx]),

@@ -189,6 +189,12 @@ def make_train_step(model, tx, axis_name: str | None = None,
         else:
             b = batch["images"].shape[0]
             assert b % accum == 0, (b, accum)
+            # contiguous micro-batch rows: on a 'data'-sharded mesh GSPMD
+            # reshards the input images once per step (micro-batch k's rows
+            # span devices). Exactness is row-order independent; the cost
+            # is amortized over the whole accumulated step and unmeasured —
+            # if profiling ever shows it, split with a strided index (each
+            # device keeps its own rows) or reshape host-side in the loader
             micro = {k: v.reshape((accum, b // accum) + v.shape[1:])
                      for k, v in batch.items()}
             rngs = jax.random.split(dropout_rng, accum)

@@ -114,7 +114,7 @@ def calc_img_norm(args):
         pop_mean.append(np.asarray(cm))
         pop_std.append(np.asarray(cs))
         if i % 100 == 0:
-            print("\n{:.1f}% ({} of {}) MEAN={} STD={}".format(
+            print("\n{:.1f}% ({}/{} images) mean={} std={}".format(
                 100 * i / num_batches, i, num_batches,
                 np.array(pop_mean).mean(axis=0)[0],
                 np.array(pop_std).mean(axis=0)[0]))
@@ -140,8 +140,11 @@ def port_weights(args):
     # False) — both are handled by torch.load. Our msgpack checkpoint's
     # payload dict serializes as a msgpack fixmap (0x84), never a pickle
     # magic, so the sniff is unambiguous.
+    # len(head) == 2 guard: a 1-byte truncated file starting 0x80 would
+    # otherwise sniff as a torch pickle (b'' is "in" any bytes) and die
+    # later inside torch.load with a far less helpful error
     is_torch_or_npz = (head == b"PK"
-                       or (head[:1] == b"\x80"
+                       or (len(head) == 2 and head[:1] == b"\x80"
                            and head[1:2] in b"\x02\x03\x04\x05")
                        or args.STATE_DICT.endswith(".npz"))
     if not is_torch_or_npz:
@@ -172,9 +175,9 @@ def main(args):
     elif args.cmd == "MAKE_CLASS_CONFIG":
         make_class_config(args)
     elif args.cmd == "CALC_IMG_NORM":
-        print("Calculating Image Normalization MEAN and STD...")
+        print("Computing dataset image-normalization mean/std...")
         mean, std = calc_img_norm(args)
-        print("MEAN={}, STD={}".format(mean, std))
+        print("mean={} std={}".format(mean, std))
     elif args.cmd == "PORT_WEIGHTS":
         port_weights(args)
 
@@ -182,17 +185,17 @@ def main(args):
 def argparse_util():
     parser = argparse.ArgumentParser(prog="ifcbnn-util")
     sub = parser.add_subparsers(dest="cmd",
-                                help="These sub-commands are mutually exclusive.")
+                                help="Pick exactly one sub-command.")
 
     dc = sub.add_parser("MAKE_DATASET_CONFIG",
-                        help="Creates a default dataset-combining configuration file.")
+                        help="Write a starter dataset-combining config csv.")
     dc.add_argument("dataset", metavar="PATH", nargs="+",
                     help='Dataset paths, optionally prefixed "n:" with an '
                          "integer priority (lower = higher priority).")
     dc.add_argument("-o", "--outfile", help="Output file; default stdout.")
 
     cc = sub.add_parser("MAKE_CLASS_CONFIG",
-                        help="Creates a default class-config csv file.")
+                        help="Write a starter class-config csv for a dataset.")
     cc.add_argument("dataset", metavar="PATH",
                     help="dataset directory or dataset-config csv.")
     cc.add_argument("-o", "--outfile", help="Output file; default stdout.")
@@ -201,7 +204,7 @@ def argparse_util():
                         help="Calculate dataset MEAN/STD for image normalizing")
     im.add_argument("SRC")
     im.add_argument("--resize", metavar="N", default=299, type=int,
-                    choices=[224, 299], help="Default is 299 (for inception_v3)")
+                    choices=[224, 299], help="Resize edge used during the scan; 299 (inception_v3 default) or 224")
     im.add_argument("--class-config", metavar=("CSV", "COL"), nargs=2)
     im.add_argument("--class-min", metavar="MIN", default=2, type=int)
     im.add_argument("--class-max", metavar="MAX", default=None, type=int)

@@ -13,12 +13,68 @@ CPU-backend stand-in for a TPU pod (SURVEY.md §4's fake-backend idiom).
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+# one device per rank by default; the single-process arm of the step-parity
+# test imports this module with its own multi-device XLA_FLAGS already set
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
 os.environ.setdefault("IFCBNN_RESIZE_OVERRIDE", "32")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def step_parity(accum: int, mesh_spec: str):
+    """ONE jitted train step (resnet18@32, fixed seed, deterministic batch)
+    on the requested mesh, printing the loss and a post-step param
+    checksum. Runs identically under N processes x 1 device or 1 process x
+    N virtual devices — the parity the composition test asserts. Every
+    process (or the single process) feeds the same global batch; replica
+    groups (model axis spanning processes) slice their mesh data-row."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ifcb_classifier_tpu.models import get_namebrand_model
+    from ifcb_classifier_tpu.parallel.mesh import (make_mesh, replicated,
+                                                   state_shardings)
+    from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                 make_train_step)
+    from ifcb_classifier_tpu.utils.config import parse_mesh
+
+    n_dev = jax.device_count()
+    n_proc = jax.process_count()
+    n_data, n_model = parse_mesh(mesh_spec, n_dev)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    model = get_namebrand_model("resnet18", 4, dtype=jnp.float32)
+    state, tx = create_train_state(model, jax.random.PRNGKey(7), 32)
+    sh = state_shardings(state, mesh)
+    state = jax.device_put(state, sh)
+    step = jax.jit(make_train_step(model, tx, accum=accum),
+                   in_shardings=(sh, None, None),
+                   out_shardings=(sh, replicated(mesh)),
+                   donate_argnums=0)
+
+    B = 16
+    r = np.random.RandomState(0)
+    g = dict(images=r.rand(B, 32, 32, 3).astype(np.float32),
+             labels=r.randint(0, 4, B).astype(np.int32),
+             mask=np.ones(B, bool))
+    if n_data % n_proc == 0:
+        n_groups, group = n_proc, jax.process_index()
+    else:  # model axis spans processes: replica groups along data rows
+        n_groups, group = n_data, jax.process_index() * n_data // n_proc
+    rows = slice(group * B // n_groups, (group + 1) * B // n_groups)
+    shd = NamedSharding(mesh, P("data"))
+    batch = {k: (jax.device_put(v, shd) if n_proc == 1 else
+                 jax.make_array_from_process_local_data(shd, v[rows],
+                                                        v.shape))
+             for k, v in g.items()}
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    checksum = float(sum(
+        jnp.sum(jnp.abs(l.astype(jnp.float32)))
+        for l in jax.tree_util.tree_leaves(state.params)))
+    print(f"STEP loss={float(loss):.8f} checksum={checksum:.4f}",
+          flush=True)
 
 
 def main():
@@ -38,9 +94,20 @@ def main():
         # command — do_training itself routes rank>0 to outdir/rank{i}
         # (the shared-outdir race fix); rank 0 owns the documented path
         src, outdir_base = sys.argv[5], sys.argv[6]
+        # optional key=value tail: accum=N mesh=AxB (composition tests)
+        extra = dict(kv.split("=", 1) for kv in sys.argv[7:])
+        kw = {}
+        if "accum" in extra:
+            kw["accum"] = int(extra["accum"])
+        if "mesh" in extra:
+            kw["mesh"] = extra["mesh"]
         from ifcb_classifier_tpu.train.loop import do_training
         do_training(make_args(src, outdir_base, emax=2, seed=5,
-                              batch_size=8))
+                              batch_size=8, **kw))
+    elif mode == "step":
+        # single train step, deterministic batch: --accum x --mesh TP
+        # gradient parity vs a single process (test_multiprocess.py)
+        step_parity(accum=int(sys.argv[5]), mesh_spec=sys.argv[6])
     elif mode in ("run", "run_gobig"):
         import argparse
         src, ckpt, outdir = sys.argv[5], sys.argv[6], sys.argv[7]

@@ -162,6 +162,72 @@ class TestRunGobig2Proc:
         assert sum(done) == 4, (done, outs)
 
 
+class TestTrainComposition4Proc:
+    """VERDICT r3 weak #6: TRAIN --accum and --mesh 2x2 under 4 processes —
+    the 'model' axis spans PROCESS boundaries (each rank holds one device;
+    ranks {0,1} and {2,3} form replica groups along the two mesh data
+    rows), composed with gradient accumulation."""
+
+    def test_accum_and_tp_mesh_do_training_4proc(self, corpus, tmp_path):
+        """Full do_training composes: every rank agrees bit-for-bit on
+        epochs.csv and validation scores, and the validation gather covers
+        the manifest exactly once (replica-group metadata deduped)."""
+        root, src = corpus
+        mp_out = str(tmp_path / "mp4")
+        _launch(4, "train", src, mp_out, "accum=2", "mesh=2x2")
+        per_rank = {}
+        for r in range(4):
+            outdir = (mp_out if r == 0
+                      else os.path.join(mp_out, f"rank{r}"))
+            with open(os.path.join(outdir, "validation_images.list")) as f:
+                val_list = sorted(os.path.splitext(os.path.basename(p))[0]
+                                  for p in f.read().splitlines() if p)
+            with open(os.path.join(outdir, "results.json")) as f:
+                results = json.load(f)
+            got = sorted(os.path.basename(p)
+                         for p in results["image_basenames"])
+            assert got == val_list, f"rank {r} coverage mismatch"
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                per_rank[r] = (list(csv.DictReader(f)),
+                               results["output_scores"])
+        for r in range(1, 4):
+            assert per_rank[r] == per_rank[0], f"rank {r} diverged"
+
+    def test_step_parity_accum_tp_vs_single_process(self, tmp_path):
+        """Gradient parity: ONE accum=2 train step on the 2x2 mesh under 4
+        processes produces the same loss and post-step param checksum as
+        the identical step on 4 virtual devices in one process."""
+        outs = _launch(4, "step", "2", "2x2")
+        import re
+
+        def parse(out):
+            m = re.search(r"STEP loss=([0-9.eE+-]+) checksum=([0-9.eE+-]+)",
+                          out)
+            assert m, out[-2000:]
+            return float(m.group(1)), float(m.group(2))
+
+        mp_vals = [parse(o) for o in outs]
+        for v in mp_vals[1:]:  # ranks bit-agree (replicated outputs)
+            assert v == mp_vals[0], mp_vals
+
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   IFCBNN_RESIZE_OVERRIDE="32")
+        code = ("import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                f"import sys; sys.path[:0] = [{HERE!r}, "
+                f"{os.path.dirname(HERE)!r}]\n"
+                "import mp_worker\n"
+                "mp_worker.step_parity(2, '2x2')\n")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=os.path.dirname(HERE), capture_output=True,
+                           text=True, timeout=600)
+        assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+        sp_loss, sp_sum = parse(r.stdout)
+        mp_loss, mp_sum = mp_vals[0]
+        assert abs(mp_loss - sp_loss) < 1e-5, (mp_loss, sp_loss)
+        assert abs(mp_sum - sp_sum) / sp_sum < 1e-6, (mp_sum, sp_sum)
+
+
 class TestTrain4Proc:
     def test_validation_gather_heavy_padding_p4(self, corpus, tmp_path):
         """P=4 over a ~4-item validation split: most ranks carry manifest

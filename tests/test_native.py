@@ -152,7 +152,7 @@ class TestBinErrorIsolation:
         out = capsys.readouterr().out
         assert (tmp_path / "out" / "D20240101T000000_IFCB900.json").exists()
         assert not (tmp_path / "out" / "D20240102T000000_IFCB900.json").exists()
-        assert "The following bins failed" in out
+        assert "Bins that errored" in out
         assert "D20240102T000000_IFCB900" in out
 
 

@@ -244,14 +244,47 @@ class TestExportPathSafety:
 
 class TestRunArtifactGuards:
     def test_run_rejects_onnx_artifact_with_guidance(self, tmp_path):
-        """RUN loads StableHLO; handing it the .onnx this same CLI produces
-        must give guidance, not an opaque flatbuffer error."""
+        """Without onnxruntime installed, RUN on a .onnx must give guidance
+        (install ort, or use the StableHLO artifact), not an opaque
+        flatbuffer error. On boxes WITH onnxruntime the serving path is
+        covered by test_run_onnx_serves_with_ort instead."""
+        try:
+            import onnxruntime  # noqa: F401
+            pytest.skip("onnxruntime installed: refusal path unreachable")
+        except ImportError:
+            pass
         from ifcb_classifier_tpu.export import run_exported
 
         p = str(tmp_path / "m.onnx")
         open(p, "wb").write(b"\x08\x07")  # any bytes; name decides
-        with pytest.raises(ValueError, match="onnxruntime"):
+        with pytest.raises(ValueError, match="pip install onnxruntime"):
             run_exported(p, str(tmp_path))
+
+    def test_run_onnx_serves_with_ort(self, ckpt, tmp_path):
+        """With onnxruntime importable, RUN serves the .onnx artifact
+        in-framework (the reference's neuston_onnx.py:68-107 RUN): scores
+        are softmaxed logits matching the engine within trace tolerance."""
+        pytest.importorskip("onnxruntime")
+        from PIL import Image
+        from fixtures import make_roi
+        from ifcb_classifier_tpu.export import export_onnx, run_exported
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+
+        out = export_onnx(ckpt, output=str(tmp_path / "m.onnx"))
+        srcdir = tmp_path / "imgs"
+        srcdir.mkdir()
+        for i in range(3):
+            Image.fromarray(make_roi(20, 24, seed=i)).save(
+                str(srcdir / f"x{i}.png"))
+        scores, paths = run_exported(out, str(srcdir), batch_size=4)
+        assert scores.shape == (3, 3) and len(paths) == 3
+        np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-5)
+        import jax.numpy as jnp
+        eng = InferenceEngine(ckpt, batch_size=4, dtype=jnp.float32,
+                              fold=False)
+        ref = eng.predict_images([np.asarray(Image.open(p).convert("L"))
+                                  for p in paths])
+        np.testing.assert_allclose(scores, ref, atol=2e-3)
 
 
 class TestTracedGraphParity:
@@ -333,6 +366,33 @@ class TestTracedGraphParity:
             {"params": state.params, "batch_stats": state.batch_stats},
             jnp.asarray(x), train=False))
         assert float(np.abs(t - f).max()) < 5e-4
+
+    def test_efficientnet_twin_stochastic_depth_schedule(self):
+        """The handed-back torch module must carry torchvision's
+        stochastic-depth regularizer for fine-tuning (parameterless —
+        state_dict and eval/ONNX output unaffected): survival schedule is
+        0.2 linearly scaled over the global block index, same as the flax
+        model (models/efficientnet.py), and training-mode forward is
+        stochastic while eval stays deterministic."""
+        import torch
+
+        from ifcb_classifier_tpu.models.torch_zoo import (_MBConv,
+                                                          build_torch_model)
+
+        tm = build_torch_model("efficientnet_b0", 3)
+        probs = [m.sd_prob for m in tm.modules() if isinstance(m, _MBConv)]
+        assert len(probs) == 16 and probs[0] == 0.0
+        assert probs == sorted(probs) and abs(probs[-1] - 0.2 * 15 / 16) < 1e-9
+        x = torch.randn(4, 3, 64, 64)
+        tm.train()
+        torch.manual_seed(0)
+        a = tm(x).detach()
+        torch.manual_seed(1)
+        b = tm(x).detach()
+        assert not torch.allclose(a, b)  # row-dropped residuals differ
+        tm.eval()
+        with torch.no_grad():
+            assert torch.allclose(tm(x), tm(x))  # identity in eval
 
     def test_torch_twin_matches_flax_for_densenet169(self):
         import jax

@@ -4,6 +4,7 @@ import csv
 import os
 
 import numpy as np
+import pytest
 
 from fixtures import write_image_folder_dataset
 
@@ -106,6 +107,19 @@ class TestPortWeightsCLI:
         out = np.load(str(tmp_path / "w.npz"))
         assert set(out.files) == {"conv1.weight", "bn1.weight"}
         assert out["conv1.weight"].shape == (4, 3, 3, 3)
+
+    def test_port_weights_truncated_file_not_sniffed_as_pickle(self,
+                                                               tmp_path):
+        """A 1-byte file starting 0x80 must not classify as a torch pickle
+        (b'' is 'in' any bytes) and die inside torch.load — it routes to
+        the checkpoint loader, whose error names the real problem."""
+        import argparse
+        from ifcb_classifier_tpu.util_cli import port_weights
+        p = str(tmp_path / "junk.bin")
+        open(p, "wb").write(b"\x80")
+        with pytest.raises(Exception) as ei:
+            port_weights(argparse.Namespace(STATE_DICT=p, outfile=None))
+        assert "torch.load" not in str(ei.value)
 
     def test_port_weights_reverse_to_torch(self, tmp_path):
         """Given OUR checkpoint, PORT_WEIGHTS hands back a torchvision-

@@ -36,10 +36,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# HBM bytes/s per chip kind; the FLOP peak comes from bench._PEAK_TFLOPS
-# (ONE shared table — a second copy here already drifted once)
-_HBM_GBS = {"v5 lite": 819, "v5e": 819, "v4": 1228, "v5p": 2765,
-            "v6 lite": 1640, "v6e": 1640, "trillium": 1640}
+# FLOP and HBM peaks both come from bench.py's tables (ONE shared copy —
+# a second table here already drifted once; bench now owns _HBM_GBS too)
 
 
 def chip_peaks():
@@ -50,12 +48,9 @@ def chip_peaks():
     peak_f = bench._peak_flops()  # honors BENCH_PEAK_TFLOPS override
     if peak_f is None:
         peak_f = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
-    env_hbm = os.environ.get("BENCH_HBM_GBS")
-    if env_hbm:  # explicit override beats the table
-        peak_b = float(env_hbm) * 1e9
-    else:
-        peak_b = next((v * 1e9 for k, v in _HBM_GBS.items() if k in kind),
-                      819e9)
+    peak_b = bench._hbm_bytes_per_sec()  # honors BENCH_HBM_GBS override
+    if peak_b is None:
+        peak_b = 819e9
     return kind, (peak_f, peak_b)
 
 

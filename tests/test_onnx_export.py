@@ -286,6 +286,108 @@ class TestRunArtifactGuards:
                                   for p in paths])
         np.testing.assert_allclose(scores, ref, atol=2e-3)
 
+    @staticmethod
+    def _fake_ort(record, *, resize=28, fixed_batch=None, half=False):
+        """Stand-in onnxruntime module: the session's contract (input 0's
+        shape/type drive resize, batch, and dtype; run(["output"],
+        {"input": x}) returns logits). Logits are 8*mean(x) spread over
+        3 classes so softmax ordering tracks image brightness — lets the
+        test pin input-order preservation across batches without a real
+        runtime (onnxruntime is absent from this image; the live-ort arm
+        is test_run_onnx_serves_with_ort)."""
+        import types
+
+        class _Inp:
+            name = "input"
+            shape = [fixed_batch if fixed_batch else "batch",
+                     3, resize, resize]
+            type = "tensor(float16)" if half else "tensor(float)"
+
+        class _Session:
+            def __init__(self, path):
+                record["path"] = path
+
+            def get_inputs(self):
+                return [_Inp()]
+
+            def run(self, outs, feeds):
+                assert outs == ["output"]
+                x = feeds["input"]
+                record.setdefault("dtypes", []).append(x.dtype)
+                record.setdefault("shapes", []).append(x.shape)
+                m = x.astype(np.float32).mean(axis=(1, 2, 3))
+                z = np.zeros_like(m)
+                return [np.stack([8 * m, z, -8 * m], axis=1)]
+
+        mod = types.ModuleType("onnxruntime")
+        mod.InferenceSession = _Session
+        return mod
+
+    def _brightness_pngs(self, tmp_path, values):
+        """One constant-brightness grayscale PNG per value; returns srcdir.
+        After /255 preprocessing each image's mean IS value/255, so the
+        fake session's logits are strictly ordered by `values`."""
+        from PIL import Image
+        srcdir = tmp_path / "imgs"
+        srcdir.mkdir()
+        for i, v in enumerate(values):
+            Image.fromarray(np.full((20, 24), v, np.uint8)).save(
+                str(srcdir / f"x{i}.png"))
+        return srcdir
+
+    def test_run_onnx_plumbing_with_fake_ort(self, tmp_path, monkeypatch,
+                                             capsys):
+        """Drives _run_onnx end-to-end against the fake session: resize
+        read off the artifact (not hardcoded 299 like neuston_onnx.py:84),
+        dynamic batch honors --batch, scores stay in input order across
+        batches, pad rows are trimmed, .classes sidecar labels print."""
+        record = {}
+        monkeypatch.setitem(sys.modules, "onnxruntime",
+                            self._fake_ort(record, resize=28))
+        from ifcb_classifier_tpu.export import run_exported
+
+        values = [10, 200, 60, 140, 30]
+        srcdir = self._brightness_pngs(tmp_path, values)
+        art = tmp_path / "m.onnx"
+        art.write_bytes(b"\x08\x07")  # fake session never parses it
+        (tmp_path / "m.classes").write_text("alpha\nbeta\ngamma\n")
+
+        scores, paths = run_exported(str(art), str(srcdir), batch_size=2)
+        assert scores.shape == (5, 3) and len(paths) == 5
+        assert [os.path.basename(p) for p in paths] == \
+            [f"x{i}.png" for i in range(5)]
+        np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-6)
+        # 5 images at --batch 2 -> 3 session calls, each the full padded
+        # batch at the artifact's 28x28 NCHW
+        assert record["shapes"] == [(2, 3, 28, 28)] * 3
+        assert all(d == np.float32 for d in record["dtypes"])
+        # class-0 probability is monotonic in brightness: order preserved
+        assert (np.argsort(scores[:, 0]).tolist()
+                == np.argsort(values).tolist())
+        # brightest image is most class-0; .classes labels were printed
+        out = capsys.readouterr().out
+        assert "alpha" in out and out.count("alpha") >= 1
+
+    def test_run_onnx_fp16_fixed_batch_with_fake_ort(self, tmp_path,
+                                                     monkeypatch):
+        """A .FP16 artifact with a FIXED batch axis: inputs are cast to
+        float16 and the artifact's batch (2) overrides --batch 4."""
+        record = {}
+        monkeypatch.setitem(
+            sys.modules, "onnxruntime",
+            self._fake_ort(record, resize=24, fixed_batch=2, half=True))
+        from ifcb_classifier_tpu.export import run_exported
+
+        srcdir = self._brightness_pngs(tmp_path, [50, 180, 120])
+        art = tmp_path / "m.FP16.onnx"
+        art.write_bytes(b"\x08\x07")
+
+        scores, paths = run_exported(str(art), str(srcdir), batch_size=4)
+        assert scores.shape == (3, 3) and len(paths) == 3
+        assert record["shapes"] == [(2, 3, 24, 24)] * 2
+        assert all(d == np.float16 for d in record["dtypes"])
+        assert np.isfinite(scores).all()
+
 
 class TestTracedGraphParity:
     def test_torch_twin_matches_flax_for_bottleneck_family(self):

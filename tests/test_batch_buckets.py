@@ -116,6 +116,24 @@ def test_predict_images_ladder_major(ckpt):
                                    atol=1e-5)
 
 
+def test_predict_images_mixed_gray_rgb(ckpt):
+    """A list mixing 2-D gray ROIs and 3-D RGB images packs as RGB for the
+    WHOLE list (rgb=any(...)): gray rows broadcast to 3 channels, and a
+    gray-first ordering must not pick a 2-D canvas that a later RGB image
+    cannot fit (the pre-ladder-major code keyed rgb off chunk[0] only)."""
+    gray = make_roi(12, 20, seed=1)
+    rgb = np.stack([make_roi(14, 18, seed=2)] * 3, axis=-1)
+    bucketed, full = _engines(ckpt)
+    probs = bucketed.predict_images([gray, rgb, gray])  # gray first
+    assert probs.shape[0] == 3
+    # per-image scores match solo evaluation (gray==its own RGB broadcast)
+    np.testing.assert_allclose(probs[0], probs[2], atol=1e-6)
+    np.testing.assert_allclose(
+        probs[1], full.predict_images([rgb])[0], atol=1e-5)
+    np.testing.assert_allclose(
+        probs[0], full.predict_images([gray])[0], atol=1e-5)
+
+
 def test_gobig_flush_parity(ckpt, tmp_path):
     from ifcb_classifier_tpu.data.ifcb import Bin
     rois = [make_roi(9 + i, 11 + i, seed=100 + i) for i in range(7)]

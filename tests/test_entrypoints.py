@@ -73,6 +73,31 @@ class TestDryrunGateSelfProvisions:
         assert "dryrun_multichip OK" in r.stdout, r.stdout[-2000:]
 
 
+class TestBenchLedgerFailSoft:
+    def test_dead_infer_tier_keeps_the_artifact(self, monkeypatch):
+        """bench.py's ledger benches two extra inference tiers at round
+        end; a tier that dies (tunnel hiccup, OOM) must degrade to an
+        error field, never take the train headline down with it."""
+        sys.path.insert(0, REPO)
+        import bench
+
+        def tiers(precision=None, n_trials=None):
+            if precision == "int8":
+                raise RuntimeError("tunnel reset by peer")
+            return {"value": 7700.0, "mfu_pct": 43.0}
+
+        monkeypatch.setattr(bench, "bench_infer", tiers)
+        out = bench._ledger({"value": 2000.0})
+        assert out["infer_bf16_imgs_per_sec"] == 7700.0
+        assert out["infer_bf16_vs_v100"] == round(7700.0 / 1400, 2)
+        assert out["infer_int8_imgs_per_sec"] is None
+        assert "tunnel reset by peer" in out["infer_int8_error"]
+        assert "infer_int8_vs_v100" not in out
+        assert out["train_vs_anchor"]["v100"] == round(2000.0 / 390, 2)
+        import json as _json
+        _json.dumps(out)  # the artifact line must stay serializable
+
+
 class TestSbatchDryRun:
     def test_renders_script_without_submitting(self, tmp_path):
         r = subprocess.run(

@@ -437,7 +437,85 @@ def _ledger(payload):
     return out
 
 
+def _last_measured():
+    """Newest BENCH_r*.json with a numeric value — context for fail-soft."""
+    import glob
+    import re
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("value"):
+            best = {"round": int(m.group(1)),
+                    "value": parsed["value"],
+                    "metric": parsed.get("metric"),
+                    "vs_baseline": parsed.get("vs_baseline")}
+    return best
+
+
+def _tpu_unavailable_payload(err):
+    payload = {
+        "metric": "inception_v3_299_bf16_train_imgs_per_sec_per_chip",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": "TPU unavailable: " + err,
+    }
+    last = _last_measured()
+    if last:
+        payload["last_measured"] = last  # prior-round context, NOT a claim
+    return payload
+
+
+def _backend_watchdog():
+    """Don't let a downed tunnel void the round's bench artifact.
+
+    The driver runs this file on the real chip at round end; a downed axon
+    tunnel makes the first backend touch (jax.devices()) block on the
+    tunnel claim for ~40 min before erroring (CLAUDE.md), so a hang here
+    would time out the driver and record NOTHING. Probe backend init on a
+    daemon thread with a deadline; on timeout or error, print an honest
+    fail-soft JSON line (value null + the error + the last measured round
+    for context) and exit 0 so the line still parses.
+
+    BENCH_DEVICE_TIMEOUT_S overrides the 1500 s default; <= 0 disables.
+    os._exit (not sys.exit): a hung backend init may have spawned
+    non-daemon threads that would block interpreter teardown."""
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1500"))
+    if timeout_s <= 0:
+        return
+    import threading
+    res = {}
+
+    def probe():
+        try:
+            import jax
+            res["kind"] = jax.devices()[0].device_kind
+        except Exception as e:  # noqa: BLE001 — reported in the artifact
+            res["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "kind" in res:
+        return
+    err = res.get("error") or (
+        f"backend init exceeded {timeout_s:.0f}s — tunnel claim hang "
+        f"(pool outages block the claim ~40 min before erroring)")
+    print(json.dumps(_tpu_unavailable_payload(err)))
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def main():
+    _backend_watchdog()
     if os.environ.get("BENCH_MODE") == "infer":
         print(json.dumps(bench_infer()))
         return

@@ -461,8 +461,10 @@ def _last_measured():
 
 
 def _tpu_unavailable_payload(err):
+    infer = os.environ.get("BENCH_MODE") == "infer"
     payload = {
-        "metric": "inception_v3_299_bf16_train_imgs_per_sec_per_chip",
+        "metric": ("raw_bin_inference_imgs_per_sec_per_chip" if infer
+                   else "inception_v3_299_bf16_train_imgs_per_sec_per_chip"),
         "value": None,
         "unit": "images/sec/chip",
         "vs_baseline": None,
@@ -485,10 +487,14 @@ def _backend_watchdog():
     fail-soft JSON line (value null + the error + the last measured round
     for context) and exit 0 so the line still parses.
 
-    BENCH_DEVICE_TIMEOUT_S overrides the 1500 s default; <= 0 disables.
-    os._exit (not sys.exit): a hung backend init may have spawned
-    non-daemon threads that would block interpreter teardown."""
-    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1500"))
+    The 2700 s default deliberately outlasts the ~40 min claim-error
+    window: a merely BUSY claim (another process holds the tunnel, e.g. a
+    queued compile) resolves within it and the real bench still runs; a
+    true outage errors out of jax.devices() before the deadline and the
+    artifact carries that real error. BENCH_DEVICE_TIMEOUT_S overrides;
+    <= 0 disables. os._exit (not sys.exit): a hung backend init may have
+    spawned non-daemon threads that would block interpreter teardown."""
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "2700"))
     if timeout_s <= 0:
         return
     import threading
@@ -507,8 +513,9 @@ def _backend_watchdog():
     if "kind" in res:
         return
     err = res.get("error") or (
-        f"backend init exceeded {timeout_s:.0f}s — tunnel claim hang "
-        f"(pool outages block the claim ~40 min before erroring)")
+        f"backend init exceeded {timeout_s:.0f}s waiting on the tunnel "
+        f"claim (pool busy or down; outages error after ~40 min, so past "
+        f"the default deadline a hang means sustained unavailability)")
     print(json.dumps(_tpu_unavailable_payload(err)))
     sys.stdout.flush()
     os._exit(0)

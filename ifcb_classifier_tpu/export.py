@@ -276,16 +276,21 @@ def export_onnx(ckpt_path: str, output: str | None = None,
                   do_constant_folding=True,
                   input_names=["input"], output_names=["output"],
                   dynamic_axes=dynamic_axes)
+    # dynamo=False pins the legacy TorchScript exporter on torch >= 2.6
+    # (where dynamo became the default and would change the graph
+    # contract); older torch (the reference's 1.7 era) has no such kwarg
+    # and TorchScript export is already its default. Decided by signature
+    # inspection, NOT try/except TypeError: a TypeError raised from inside
+    # tracing must surface, not silently retrigger a full re-export under
+    # the other exporter.
+    import inspect
+    try:
+        if "dynamo" in inspect.signature(torch.onnx.export).parameters:
+            kwargs["dynamo"] = False
+    except (ValueError, TypeError):
+        kwargs["dynamo"] = False  # signature unavailable: pin explicitly
     with torch.no_grad():
-        try:
-            # dynamo=False pins the legacy TorchScript exporter on torch
-            # >= 2.6 (where dynamo became the default and would change the
-            # graph contract)
-            torch.onnx.export(model, dummy, output, dynamo=False, **kwargs)
-        except TypeError:
-            # older torch (< 2.6, e.g. the reference's 1.7 era): no dynamo
-            # kwarg exists and TorchScript export is already the default
-            torch.onnx.export(model, dummy, output, **kwargs)
+        torch.onnx.export(model, dummy, output, **kwargs)
     print("EXPORTED:", output)
 
     # strip only a TRAILING .onnx: replace() on a user --output with no
@@ -296,7 +301,77 @@ def export_onnx(ckpt_path: str, output: str | None = None,
     with open(classes_file, "w") as f:
         f.write("\n".join(classes))
     print("EXPORTED:", classes_file)
+    # metadata sidecar, same contract as the StableHLO export's: _run_onnx
+    # reads img_norm/resize from it so an img-norm model served via `RUN
+    # model.onnx` sees the SAME normalized inputs as every other serving
+    # path (QUIRKS.md declares the reference's missing-normalization quirk
+    # FIXED; artifacts from an actual reference install have no sidecar
+    # and are served reference-style, un-normalized)
+    meta_file = output + ".json"
+    with open(meta_file, "w") as f:
+        json.dump(dict(model=family, resize=size,
+                       img_norm=hparams.get("img_norm"),
+                       model_id=hparams.get("model_id"),
+                       n_classes=len(classes), batchsize=batchsize,
+                       precision="fp16" if half else "fp32"), f)
     return output
+
+
+def _load_artifact_meta(model_path: str) -> dict:
+    """The exporters' `<artifact>.json` sidecar, {} when absent (e.g. an
+    artifact produced by an actual reference installation)."""
+    if os.path.isfile(model_path + ".json"):
+        with open(model_path + ".json") as f:
+            return json.load(f)
+    return {}
+
+
+def _parse_meta_imgnorm(meta: dict):
+    """(mean, std) from a metadata sidecar's img_norm entry, (None, None)
+    when the model was trained without --img-norm."""
+    img_norm = meta.get("img_norm")
+    if not img_norm:
+        return None, None
+    from .data.datasets import parse_imgnorm
+    return parse_imgnorm(img_norm)
+
+
+def _serve_images(src: str, batch_size: int, resize: int, mean, std,
+                  run_batch):
+    """The serving loop both RUN artifact arms share: list images →
+    HostLoader canvas batches → prefetch → device/ort preprocess+predict →
+    pad-row trim. `run_batch(images_nhwc_f32) -> [B, C] softmax scores`.
+    One loop means the two arms cannot drift on normalization, padding, or
+    path bookkeeping (they once did — round-4 review)."""
+    from .data.datasets import list_image_paths
+    from .data.pipeline import HostLoader, prefetch
+    from .ops.preprocess import preprocess_batch
+
+    img_paths = list_image_paths(src)
+    assert img_paths, "No images to process"
+    loader = HostLoader(img_paths, batch_size=batch_size, rgb=True)
+    all_scores, paths = [], []
+    for b in prefetch(iter(loader)):
+        images = np.asarray(preprocess_batch(b["canvas"], b["sizes"],
+                                             out_size=resize, mean=mean,
+                                             std=std))
+        out = run_batch(images)
+        n = int(b["mask"].sum())
+        all_scores.append(np.asarray(out)[:n])
+        paths.extend(loader.items[i] for i in b["indices"][:n])
+    return np.concatenate(all_scores), paths
+
+
+def _print_predictions(scores, classfile):
+    """Reference-parity stdout: max score, argmax, labels when the
+    `.classes` sidecar exists (neuston_onnx.py:89-107)."""
+    output_classes = np.argmax(scores, axis=1)
+    print(np.max(scores, axis=1))
+    print(output_classes)
+    if os.path.isfile(classfile):
+        with open(classfile) as f:
+            classes = f.read().splitlines()
+        print([classes[i] for i in output_classes])
 
 
 def _run_onnx(model_path: str, src: str, classfile: str | None = None,
@@ -309,22 +384,22 @@ def _run_onnx(model_path: str, src: str, classfile: str | None = None,
 
     The artifact contract comes from export_onnx: input "input" NCHW
     (fp16 for .FP16.onnx artifacts), output "output" = raw logits —
-    softmax is applied post-hoc exactly like the reference."""
+    softmax is applied post-hoc exactly like the reference. img_norm (and
+    a resize fallback) come from the exporter's `.json` sidecar; an
+    artifact from an actual reference install has neither and is served
+    reference-style."""
     import onnxruntime as ort
 
-    from .data.datasets import list_image_paths
-    from .data.pipeline import HostLoader, prefetch
-    from .ops.preprocess import preprocess_batch
-
-    img_paths = list_image_paths(src)
-    assert img_paths, "No images to process"
+    meta = _load_artifact_meta(model_path)
+    mean, std = _parse_meta_imgnorm(meta)
 
     sess = ort.InferenceSession(model_path)
     inp = sess.get_inputs()[0]
-    # [batch, 3, H, W]; H/W are static in the trace. The reference
-    # hardcodes resize=299 (neuston_onnx.py:84) — reading it off the
-    # artifact serves non-299 models correctly too.
-    resize = inp.shape[2] if isinstance(inp.shape[2], int) else 299
+    # [batch, 3, H, W]; H/W are static in the trace — the trace is ground
+    # truth, the sidecar then the reference's hardcoded 299
+    # (neuston_onnx.py:84) are the fallbacks.
+    resize = (inp.shape[2] if isinstance(inp.shape[2], int)
+              else meta.get("resize", 299))
     half = "float16" in (inp.type or "")
     fixed = inp.shape[0] if isinstance(inp.shape[0], int) else 0
     if fixed and fixed != batch_size:
@@ -332,29 +407,19 @@ def _run_onnx(model_path: str, src: str, classfile: str | None = None,
               f"using it instead of --batch {batch_size}")
         batch_size = fixed
 
-    loader = HostLoader(img_paths, batch_size=batch_size, rgb=True)
-    all_scores, paths = [], []
-    for b in prefetch(iter(loader)):
-        x = np.asarray(preprocess_batch(b["canvas"], b["sizes"],
-                                        out_size=resize))
-        x = x.transpose(0, 3, 1, 2)  # NHWC (ours) -> NCHW (torch trace)
+    def run_batch(images):
+        x = images.transpose(0, 3, 1, 2)  # NHWC (ours) -> NCHW (trace)
         out = sess.run(["output"], {
             "input": x.astype(np.float16 if half else np.float32)})[0]
-        n = int(b["mask"].sum())
-        z = np.asarray(out[:n], np.float32)
+        z = np.asarray(out, np.float32)
         z -= z.max(axis=1, keepdims=True)  # logits -> softmax, post-hoc
         ez = np.exp(z)
-        all_scores.append(ez / ez.sum(axis=1, keepdims=True))
-        paths.extend(loader.items[i] for i in b["indices"][:n])
-    scores = np.concatenate(all_scores)
-    output_classes = np.argmax(scores, axis=1)
-    print(np.max(scores, axis=1))
-    print(output_classes)
-    classfile = classfile or model_path[:-len(".onnx")] + ".classes"
-    if os.path.isfile(classfile):
-        with open(classfile) as f:
-            classes = f.read().splitlines()
-        print([classes[i] for i in output_classes])
+        return ez / ez.sum(axis=1, keepdims=True)
+
+    scores, paths = _serve_images(src, batch_size, resize, mean, std,
+                                  run_batch)
+    _print_predictions(scores,
+                       classfile or model_path[:-len(".onnx")] + ".classes")
     return scores, paths
 
 
@@ -383,20 +448,10 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from .data.datasets import list_image_paths
-    from .data.pipeline import HostLoader, prefetch
-    from .ops.preprocess import preprocess_batch
-
-    img_paths = list_image_paths(src)
-    assert img_paths, "No images to process"
-
     with open(model_path, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
 
-    meta = {}
-    if os.path.isfile(model_path + ".json"):
-        with open(model_path + ".json") as f:
-            meta = json.load(f)
+    meta = _load_artifact_meta(model_path)
     resize = meta.get("resize", 299)  # neuston_onnx.py:84 hardcodes 299
     # a fixed-batch artifact (EXPORT --batchsize N) serialized an exact
     # [N,...] signature: size the loader to it (HostLoader pads the tail),
@@ -406,33 +461,12 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
         print(f"artifact was exported with fixed batch {fixed}; "
               f"using it instead of --batch {batch_size}")
         batch_size = fixed
-    img_norm = meta.get("img_norm")
-    mean, std = (None, None)
-    if img_norm:
-        from .data.datasets import parse_imgnorm
-        mean, std = parse_imgnorm(img_norm)
+    mean, std = _parse_meta_imgnorm(meta)
 
-    loader = HostLoader(img_paths, batch_size=batch_size, rgb=True)
-    all_scores, paths = [], []
-    for b in prefetch(iter(loader)):
-        images = np.asarray(preprocess_batch(b["canvas"], b["sizes"],
-                                             out_size=resize, mean=mean,
-                                             std=std))
-        out = exported.call(jnp.asarray(images))
-        n = int(b["mask"].sum())
-        all_scores.append(np.asarray(out)[:n])
-        paths.extend(loader.items[i] for i in b["indices"][:n])
-    scores = np.concatenate(all_scores)
-    output_classes = np.argmax(scores, axis=1)
-    output_scores = np.max(scores, axis=1)
-    print(output_scores)
-    print(output_classes)
-
-    classfile = classfile or model_path + ".classes"
-    if os.path.isfile(classfile):
-        with open(classfile) as f:
-            classes = f.read().splitlines()
-        print([classes[i] for i in output_classes])
+    scores, paths = _serve_images(
+        src, batch_size, resize, mean, std,
+        lambda images: exported.call(jnp.asarray(images)))
+    _print_predictions(scores, classfile or model_path + ".classes")
     return scores, paths
 
 

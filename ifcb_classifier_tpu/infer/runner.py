@@ -1054,10 +1054,18 @@ def do_run(args, engine=None):
                             # watch: outputs older than the bin's newest
                             # file mean the bin GREW after classification
                             # (writes resumed post-settle) — reclassify;
-                            # fresh outputs skip as usual
+                            # fresh outputs skip as usual. EXCEPT when the
+                            # aggregate is tracked and this pid has no live
+                            # contribution (service restart, or evicted
+                            # while absent and later re-added with outputs
+                            # intact): skipping would leave its ROIs
+                            # permanently missing from the live aggregate,
+                            # so it is reclassified like a new bin.
                             if min(os.path.getmtime(o)
                                    for o in ofiles) >= newest:
-                                continue
+                                if (not track_agg
+                                        or str(bin_obj) in bin_contrib):
+                                    continue
                 except OSError as e:
                     # TOCTOU: a file deleted/renamed between isfile() and
                     # getmtime() (instrument rotation, NFS hiccup) is a

@@ -108,7 +108,15 @@ def do_training(args):
         from ..results.plots import validate_plot_files
         validate_plot_files(args.plot_files, which="train")
     from ..utils.config import parse_mesh
-    parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
+    _ff_data, _ = parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
+    _ff_proc = jax.process_count()
+    if _ff_proc > 1 and _ff_data < _ff_proc and _ff_proc % _ff_data:
+        # replica-group divisibility (see the group setup below): computable
+        # from argv + device/process counts alone, so it fails HERE, not
+        # after the dataset walk
+        raise ValueError(
+            f"--mesh with data axis {_ff_data}: must be a multiple of "
+            f"the process count ({_ff_proc}) or divide it evenly")
     _resolve_dtype(getattr(args, "precision", None))  # int8 rejected HERE,
     if args.img_norm:                  # not minutes into a large tree walk
         parse_imgnorm(args.img_norm)
@@ -179,10 +187,7 @@ def do_training(args):
     # the process's data-row index.
     n_data_g, _ = parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
     if n_proc > 1 and n_data_g < n_proc:
-        if n_proc % n_data_g:
-            raise ValueError(
-                f"--mesh with data axis {n_data_g}: must be a multiple of "
-                f"the process count ({n_proc}) or divide it evenly")
+        # divisibility already validated in the fail-fast block up top
         n_groups, group = n_data_g, jax.process_index() * n_data_g // n_proc
     else:
         n_groups, group = n_proc, jax.process_index()

@@ -10,6 +10,7 @@ walker over the ModelProto plus numeric parity of the traced torch module
 against the flax model (the graph is whatever torch traces from that
 module, the same exporter machinery the reference used)."""
 
+import json
 import os
 import struct
 import sys
@@ -155,6 +156,30 @@ class TestOnnxArtifact:
         assert m["opset"] == 13
         assert m["inputs"][0][2] == [4, 3, 32, 32]
         assert m["outputs"][0][2] == [4, 3]
+
+    def test_metadata_sidecar_carries_imgnorm(self, tmp_path):
+        """export_onnx writes the same .json sidecar the StableHLO export
+        does, so _run_onnx can serve img-norm models with the checkpoint's
+        normalization (round-4 review)."""
+        import jax
+
+        from ifcb_classifier_tpu.export import export_onnx
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+
+        model = get_namebrand_model("resnet18", 2)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        p = str(tmp_path / "n.ptl")
+        save_checkpoint(p, state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="n", seed=1,
+                             img_norm=["0.5,0.4,0.3", "0.25"]))
+        out = export_onnx(p, output=str(tmp_path / "n.onnx"), batchsize=2)
+        meta = json.load(open(out + ".json"))
+        assert meta["img_norm"] == ["0.5,0.4,0.3", "0.25"]
+        assert meta["model"] == "resnet18" and meta["resize"] == 32
+        assert meta["batchsize"] == 2 and meta["precision"] == "fp32"
 
     def test_half_emits_fp16_artifact(self, ckpt, tmp_path):
         """--half: fp16 tensors (elem_type 10) and the .FP16.onnx naming
@@ -315,6 +340,8 @@ class TestRunArtifactGuards:
                 x = feeds["input"]
                 record.setdefault("dtypes", []).append(x.dtype)
                 record.setdefault("shapes", []).append(x.shape)
+                record.setdefault("means", []).append(
+                    float(x.astype(np.float32).mean()))
                 m = x.astype(np.float32).mean(axis=(1, 2, 3))
                 z = np.zeros_like(m)
                 return [np.stack([8 * m, z, -8 * m], axis=1)]
@@ -367,6 +394,38 @@ class TestRunArtifactGuards:
         # brightest image is most class-0; .classes labels were printed
         out = capsys.readouterr().out
         assert "alpha" in out and out.count("alpha") >= 1
+
+    def test_run_onnx_honors_imgnorm_sidecar(self, tmp_path, monkeypatch):
+        """An img-norm model served via RUN model.onnx must see NORMALIZED
+        inputs (round-4 review: the onnx arm silently skipped the
+        checkpoint's --img-norm, reintroducing the reference quirk QUIRKS.md
+        declares FIXED). export_onnx writes the .json sidecar; _run_onnx
+        applies its img_norm before the session call."""
+        import json as _json
+        record = {}
+        monkeypatch.setitem(sys.modules, "onnxruntime",
+                            self._fake_ort(record, resize=24))
+        from ifcb_classifier_tpu.export import run_exported
+
+        v = 204  # v/255 = 0.8; with mean .5 / std .25 the net input is 1.2
+        srcdir = self._brightness_pngs(tmp_path, [v])
+        art = tmp_path / "m.onnx"
+        art.write_bytes(b"\x08\x07")
+        (tmp_path / "m.onnx.json").write_text(
+            _json.dumps({"img_norm": ["0.5", "0.25"], "resize": 24}))
+
+        run_exported(str(art), str(srcdir), batch_size=1)
+        assert record["shapes"] == [(1, 3, 24, 24)]
+        np.testing.assert_allclose(record["means"], [1.2], atol=1e-3)
+
+        # sidecar removed (an artifact from an actual reference install):
+        # served reference-style, un-normalized — the raw 0.8
+        record2 = {}
+        monkeypatch.setitem(sys.modules, "onnxruntime",
+                            self._fake_ort(record2, resize=24))
+        os.remove(str(tmp_path / "m.onnx.json"))
+        run_exported(str(art), str(srcdir), batch_size=1)
+        np.testing.assert_allclose(record2["means"], [0.8], atol=1e-3)
 
     def test_run_onnx_fp16_fixed_batch_with_fake_ort(self, tmp_path,
                                                      monkeypatch):

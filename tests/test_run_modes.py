@@ -1175,6 +1175,61 @@ class TestWatchSteadyState:
         assert os.path.isfile(os.path.join(out, pids[2] + ".json"))
 
 
+    def test_readded_bin_with_intact_outputs_rejoins_aggregate(
+            self, ckpt, tmp_path, monkeypatch):
+        """A bin evicted while absent whose OUTPUT files survived on disk
+        (rotation replay, operator mv out and back preserving mtimes) must
+        be reclassified on reappearance: its outputs are fresher than the
+        re-added bin files, so the plain skip-if-output-exists branch would
+        pin it skipped forever while its ROIs stayed permanently subtracted
+        from the live aggregate (round-4 review)."""
+        import time as real_time
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pids = [f"D2025070{i + 1}T000000_IFCB900" for i in range(2)]
+        for i, p in enumerate(pids):
+            write_bin(str(root), p,
+                      [make_roi(16, 20, i), make_roi(10, 10, i + 3)], 2)
+        out = str(tmp_path / "out")
+        summaries = []
+
+        class FakeTime:
+            def __init__(self):
+                self.sleeps = 0
+
+            def time(self):  # far future: every bin quiescent immediately
+                return real_time.time() + 1e6
+
+            def sleep(self, s):
+                self.sleeps += 1
+                summaries.append(json.load(
+                    open(os.path.join(out, "live.json"))))
+                if self.sleeps == 1:  # remove bin 2's FILES, keep its output
+                    for f in os.listdir(root):
+                        if f.startswith(pids[1]):
+                            os.remove(os.path.join(root, f))
+                if self.sleeps == 6:  # re-add with mtimes OLDER than the
+                    # pass-1 outputs, so the staleness self-heal does NOT
+                    # fire and only the no-live-contribution rule can
+                    # trigger the reclassification under test
+                    write_bin(str(root), pids[1],
+                              [make_roi(16, 20, 1), make_roi(10, 10, 4)], 2)
+                    old = real_time.time() - 5000
+                    for f in os.listdir(root):
+                        if f.startswith(pids[1]):
+                            os.utime(os.path.join(root, f), (old, old))
+
+        monkeypatch.setattr(runner, "time", FakeTime())
+        runner.do_run(run_args(str(root), ckpt, out, watch=0.01,
+                               watch_passes=8, summary="live.json"))
+        assert summaries[0]["n_rois"] == 4       # pass 1: both classified
+        assert summaries[3]["n_rois"] == 2       # absent x3 — evicted
+        final = json.load(open(os.path.join(out, "live.json")))
+        assert final["n_rois"] == 4              # reclassified on return
+        assert final["n_bins_done"] == 3         # counted as NEW post-evict
+
+
 class TestRound3Hardening:
     """Round-3 fixes: watch-mode aggregate double-count on staleness
     self-heal, predict_bin negative-startByte bounds check (gobig parity)."""

@@ -193,10 +193,19 @@ class NeustonDataset:
 
         dataset1 = NeustonDataset(src=self.src, images_perclass=d1_perclass)
         dataset2 = NeustonDataset(src=self.src, images_perclass=d2_perclass)
+        # KEPT quirk (QUIRKS.md): with --class-min 1 a tiny class can round
+        # its ENTIRE membership into d1 (the one-image-to-val guarantee
+        # above only fires when class-min > 1, neuston_data.py:164-166) and
+        # the reference crashes on its classes-agree assert. Same crash
+        # here — split membership parity pins the rounding — but the
+        # message names the actual cause and the fix.
         assert dataset1.classes == dataset2.classes, \
-            'split halves disagree on classes: only-in-d1={}, only-in-d2={}'.format(
+            'split halves disagree on classes: only-in-d1={}, only-in-d2={}' \
+            ' — a class too small for --split {}:{} sent every image to one' \
+            ' half (raise --class-min above 1, or drop the class)'.format(
                 set(dataset1.classes) - set(dataset2.classes),
-                set(dataset2.classes) - set(dataset1.classes))
+                set(dataset2.classes) - set(dataset1.classes),
+                ratio1, ratio2)
         assert len(dataset1) + len(dataset2) == len(self)
         return dataset1, dataset2
 
@@ -255,6 +264,17 @@ class NeustonDataset:
             msg = '\n{} classes dropped by {}'.format(
                 len(skipped_classes), os.path.basename(csv_file))
             print('\n    '.join([msg] + skipped_classes))
+
+        if not new_ipc:
+            # FIXED quirk (QUIRKS.md): the reference would pass {} into the
+            # constructor, whose `if not images_perclass` treats it as "no
+            # config given" and silently RESCANS src — training on every
+            # class with the config ignored. A config that drops/mismatches
+            # everything is an input error; fail loudly instead.
+            raise ValueError(
+                "--class-config {} column {!r} leaves no classes: every row "
+                "is dropped (0) or matches no class dir under {}".format(
+                    os.path.basename(csv_file), column_to_run, src))
 
         return cls(src=src, images_perclass=new_ipc,
                    minimum_images_per_class=minimum_images_per_class,
@@ -333,12 +353,10 @@ def list_image_paths(src, filter_mode=None, filter_keywords=()):
     elif src.endswith(IMG_EXTENSIONS):
         img_paths.append(src)
 
-    if filter_mode:
-        for img in img_paths[:]:
-            if filter_mode == 'IN':
-                if not any(k in img for k in filter_keywords):
-                    img_paths.remove(img)
-            elif filter_mode == 'OUT':
-                if any(k in img for k in filter_keywords):
-                    img_paths.remove(img)
+    if filter_mode == 'IN':
+        img_paths = [img for img in img_paths
+                     if any(k in img for k in filter_keywords)]
+    elif filter_mode == 'OUT':
+        img_paths = [img for img in img_paths
+                     if not any(k in img for k in filter_keywords)]
     return img_paths

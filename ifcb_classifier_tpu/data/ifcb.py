@@ -358,7 +358,15 @@ class DataDirectory:
     def _match(self, basepath: str) -> bool:
         pid = os.path.basename(basepath)
         if self.exact:
-            return pid in (self.whitelist or ())
+            # exact whitelist membership; the blacklist still applies (it
+            # used to be silently ignored) and exact-without-whitelist is
+            # a contradiction, not an empty run
+            assert self.whitelist is not None, \
+                "DataDirectory(exact=True) requires a whitelist"
+            if pid not in self.whitelist:
+                return False
+            return not (self.blacklist is not None
+                        and any(k in pid for k in self.blacklist))
         # match against the pid and the path RELATIVE to the search root —
         # NEVER the absolute root itself: a keyword occurring in the SRC
         # path (e.g. RUN /data/ifcb_test_deploy --filter OUT test) would

@@ -96,7 +96,13 @@ def pack_canvas_batch(images, batch_size=None, rgb=None):
     assert n > 0, "empty batch"
     B = batch_size or n
     if rgb is None:
-        rgb = images[0].ndim == 3
+        # any() — not images[0] — so a mixed gray/RGB list whose first
+        # entry is grayscale still allocates a 3-channel canvas (gray rows
+        # are broadcast below; the reverse would be a broadcast crash)
+        rgb = any(img.ndim == 3 for img in images)
+    elif not rgb:
+        assert all(img.ndim == 2 for img in images), \
+            "rgb=False canvas cannot hold 3-D (RGB) images"
     max_dim = max(max(img.shape[0], img.shape[1]) for img in images)
     S = ladder_size(max_dim)
     shape = (B, S, S, 3) if rgb else (B, S, S)

@@ -78,6 +78,16 @@ class TestNeustonDataset:
         nd = NeustonDataset.from_csv(toy_src, str(cfg), "run1")
         assert nd.classes == ["alpha"]
 
+    def test_from_csv_nothing_left_raises(self, toy_src, tmp_path):
+        """A config that drops or mismatches EVERY class must fail loudly:
+        the reference would pass {} to the constructor, which treats it as
+        'no config given' and silently rescans src — training on all
+        classes with the config ignored (QUIRKS.md, FIXED)."""
+        cfg = tmp_path / "cfg.csv"
+        cfg.write_text("class,run1\nalpha,0\nbeta,0\ngamma,0\nnosuch,1\n")
+        with pytest.raises(ValueError, match="leaves no classes"):
+            NeustonDataset.from_csv(toy_src, str(cfg), "run1")
+
     def test_dataset_config_csv(self, tmp_path):
         src1 = write_image_folder_dataset(str(tmp_path / "d1"), {"a": 3, "b": 2})
         src2 = write_image_folder_dataset(str(tmp_path / "d2"), {"a": 2, "c": 4})

@@ -144,6 +144,21 @@ class TestDataDirectory:
         assert len(DataDirectory(str(tmp_path),
                                  whitelist=["IFCB101"])) == 2
 
+    def test_exact_mode_respects_blacklist_and_needs_whitelist(self,
+                                                               tmp_path):
+        """exact=True used to short-circuit past the blacklist (silently
+        classifying excluded bins) and to turn a missing whitelist into a
+        silent 0-bin run instead of an error."""
+        from ifcb_classifier_tpu.data.ifcb import DataDirectory
+        pids = ["D20240101T000000_IFCB101", "D20240102T000000_IFCB101"]
+        for p in pids:
+            write_bin(str(tmp_path), p, [make_roi(5, 5)], 2)
+        dd = DataDirectory(str(tmp_path), whitelist=pids,
+                           blacklist=["D20240102"], exact=True)
+        assert [b.pid.pid for b in dd] == [pids[0]]
+        with pytest.raises(AssertionError, match="requires a whitelist"):
+            len(DataDirectory(str(tmp_path), exact=True))
+
     def test_ignores_orphan_adc(self, tmp_path):
         self._make_three(tmp_path)
         (tmp_path / "D20220101T000000_IFCB900.adc").write_text("0,0\n")

@@ -78,6 +78,23 @@ class TestPreprocessBatch:
             np.testing.assert_allclose(a[i], base[i, ::-1], atol=1e-5)
 
 
+class TestPackCanvasMixedChannels:
+    def test_first_gray_still_infers_rgb_canvas(self):
+        """rgb=None inference uses any(), not images[0]: a mixed list whose
+        FIRST entry is grayscale must still get a 3-channel canvas (the
+        old first-element inference crashed on the later RGB row)."""
+        gray = np.full((8, 10), 7, np.uint8)
+        rgbi = np.full((6, 7, 3), 9, np.uint8)
+        canvas, sizes, n = pack_canvas_batch([gray, rgbi])
+        assert canvas.shape == (2, 64, 64, 3) and n == 2
+        assert (canvas[0, :8, :10] == 7).all()  # gray broadcast to 3ch
+        assert (canvas[1, :6, :7] == 9).all()
+
+    def test_explicit_gray_canvas_rejects_rgb_rows(self):
+        with pytest.raises(AssertionError, match="rgb=False"):
+            pack_canvas_batch([np.zeros((4, 4, 3), np.uint8)], rgb=False)
+
+
 class TestHostLoader:
     def test_loader_batches_and_padding(self, tmp_path):
         src = write_image_folder_dataset(str(tmp_path / "d"), {"a": 5})

@@ -149,12 +149,17 @@ def make_train_step(model, tx, axis_name: str | None = None,
     activation memory scales with the micro-batch while the gradient is
     EXACTLY the masked-mean gradient of the full batch (micro grads are
     combined weighted by each micro's valid-row count — or Σw under
-    --class-norm — so short/padded tails don't skew the mean). Matches a
-    torch accumulate-then-step loop bit-for-bit in semantics, including
-    BatchNorm: each micro-batch normalizes by its OWN batch stats and the
-    running stats update sequentially micro-batch by micro-batch — which
-    also means accum=N is NOT numerically identical to accum=1 (same as
-    torch; the effective BN batch is the micro-batch).
+    --class-norm — so short/padded tails don't skew the mean). Micro k
+    takes the INTERLEAVED rows [k::accum] (not a contiguous block): on a
+    'data'-sharded mesh every device then keeps its own rows for every
+    micro and the split compiles collective-free, where a contiguous
+    split all-gathered the full image batch each step. Matches a torch
+    accumulate-then-step loop over the same row assignment bit-for-bit in
+    semantics, including BatchNorm: each micro-batch normalizes by its
+    OWN batch stats and the running stats update sequentially micro-batch
+    by micro-batch — which also means accum=N is NOT numerically
+    identical to accum=1 (same as torch; the effective BN batch is the
+    micro-batch).
     """
     cw = None if class_weights is None else jnp.asarray(class_weights,
                                                         jnp.float32)
@@ -189,14 +194,21 @@ def make_train_step(model, tx, axis_name: str | None = None,
         else:
             b = batch["images"].shape[0]
             assert b % accum == 0, (b, accum)
-            # contiguous micro-batch rows: on a 'data'-sharded mesh GSPMD
-            # reshards the input images once per step (micro-batch k's rows
-            # span devices). Exactness is row-order independent; the cost
-            # is amortized over the whole accumulated step and unmeasured —
-            # if profiling ever shows it, split with a strided index (each
-            # device keeps its own rows) or reshape host-side in the loader
-            micro = {k: v.reshape((accum, b // accum) + v.shape[1:])
-                     for k, v in batch.items()}
+            # INTERLEAVED micro-batches (row r -> micro r % accum): under a
+            # row-block 'data' sharding every device keeps its own rows for
+            # every micro (position j of micro k is global row j*accum+k,
+            # which stays inside the same device's block whenever the micro
+            # size divides evenly over 'data' — the loop rounds batch to
+            # n_data*accum), so GSPMD compiles the split collective-free.
+            # A contiguous reshape instead all-gathered the FULL image
+            # batch every step (micro k's rows span devices; verified in
+            # HLO: all-gather of the [B,H,W,3] input on an 8-device mesh).
+            # The full-batch gradient is identical either way (the combine
+            # is row-order independent); BN micro composition and per-micro
+            # dropout keys differ from a contiguous split exactly as they
+            # would under any other shuffle of the batch.
+            micro = {k: v.reshape((b // accum, accum) + v.shape[1:])
+                     .swapaxes(0, 1) for k, v in batch.items()}
             rngs = jax.random.split(dropout_rng, accum)
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)

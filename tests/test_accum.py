@@ -5,7 +5,9 @@ The contract (train/state.py make_train_step): the update equals the
 masked-mean gradient of the FULL batch — micro gradients combine weighted
 by each micro's valid-row count — and BatchNorm behaves exactly like a
 torch accumulate-then-step loop (per-micro batch stats, sequential
-running-stat updates)."""
+running-stat updates). Micro k takes the INTERLEAVED rows [k::accum] so
+each device keeps its own rows under a 'data' mesh (collective-free
+split); the manual host loops below use the same row assignment."""
 
 import argparse
 import os
@@ -36,9 +38,10 @@ def _setup(mask, optimizer="Adam"):
 class TestAccumStep:
     def test_matches_manual_sequential_weighted(self):
         """accum=2 == two sequential micro passes with stats threading,
-        count-weighted gradient combine, ONE optimizer update. The second
-        micro carries pad rows (mask False) so the weighting is exercised:
-        a naive unweighted grad average would differ.
+        count-weighted gradient combine, ONE optimizer update. The two
+        micros carry UNEQUAL valid-row counts (3 vs 2 after interleaving)
+        so the weighting is exercised: a naive unweighted grad average
+        would differ.
 
         SGD (update linear in the gradient) rather than Adam: the scan's
         float accumulation order differs from the host loop at ~1e-7 per
@@ -52,7 +55,7 @@ class TestAccumStep:
         from ifcb_classifier_tpu.train.state import (loss_fn,
                                                      make_train_step)
 
-        model, state, tx, batch = _setup([1, 1, 1, 1, 1, 1, 0, 0],
+        model, state, tx, batch = _setup([1, 1, 1, 1, 1, 0, 0, 0],
                                          optimizer="SGD")
         step = jax.jit(make_train_step(model, tx, accum=2))
         s2, loss = step(state, batch, jax.random.PRNGKey(7))
@@ -71,7 +74,7 @@ class TestAccumStep:
         stats = state.batch_stats
         gsum, lsum, dsum = None, 0.0, 0.0
         for i in range(2):
-            mb = {k: v[i * 4:(i + 1) * 4] for k, v in batch.items()}
+            mb = {k: v[i::2] for k, v in batch.items()}
             (li, (stats, di)), gi = grad_fn(state.params, stats, mb,
                                             rngs[i])
             di = float(di)
@@ -112,21 +115,26 @@ class TestAccumStep:
 
         losses = []
         for i in range(2):
-            mb = {k: v[i * 4:(i + 1) * 4] for k, v in batch.items()}
+            mb = {k: v[i::2] for k, v in batch.items()}
             outputs, _ = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 mb["images"], train=True,
                 rngs={"dropout": jax.random.PRNGKey(0)},
                 mutable=["batch_stats"])
             losses.append(float(loss_fn(outputs, mb["labels"], mb["mask"])))
-        weighted = (losses[0] * 4 + losses[1] * 1) / 5
+        # interleaved micros: rows [0,2,4,6] -> 3 valid, [1,3,5,7] -> 2
+        weighted = (losses[0] * 3 + losses[1] * 2) / 5
         naive = (losses[0] + losses[1]) / 2
         assert float(loss) == pytest.approx(weighted, rel=1e-5)
         assert abs(weighted - naive) > 1e-6  # the cases differ
 
     def test_accum_under_mesh(self):
         """accum=2 composes with the DP4xTP2 sharded step (micro-batches
-        shard over 'data'); loss finite, params update."""
+        shard over 'data'); loss finite, params update. The interleaved
+        micro split must compile COLLECTIVE-FREE for the input batch: a
+        contiguous split all-gathered the full image array every step
+        (micro rows spanned devices) — assert no all-gather touches the
+        image shape in the compiled HLO."""
         import jax
         import jax.numpy as jnp
 
@@ -145,8 +153,12 @@ class TestAccumStep:
         step = jax.jit(make_train_step(model, tx, accum=2),
                        in_shardings=(sh, None, None),
                        out_shardings=(sh, replicated(mesh)))
-        s2, loss = step(state, shard_batch(batch, mesh),
-                        jax.random.PRNGKey(7))
+        sharded = shard_batch(batch, mesh)
+        compiled = step.lower(state, sharded, jax.random.PRNGKey(7)).compile()
+        bad = [ln.strip()[:120] for ln in compiled.as_text().splitlines()
+               if "all-gather" in ln and "32,32,3" in ln]
+        assert not bad, f"image batch is all-gathered in the accum split: {bad}"
+        s2, loss = compiled(state, sharded, jax.random.PRNGKey(7))
         assert np.isfinite(float(loss))
         p1 = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
         assert not np.array_equal(p0, p1)

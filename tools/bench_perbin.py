@@ -72,6 +72,11 @@ def main():
                     help="also measure the gobig aggregator for context")
     ap.add_argument("--corpus", default=None,
                     help="reuse an existing bin directory instead of synth")
+    ap.add_argument("--v1", action="store_true",
+                    help="ALL-schema-v1 corpus with mixed stitched-frame "
+                         "sizes: the legacy workload served by "
+                         "predict_images (ladder-major packing + batch "
+                         "buckets), not the native .roi packer")
     args = ap.parse_args()
 
     from ifcb_classifier_tpu.utils.config import enable_compile_cache
@@ -83,10 +88,14 @@ def main():
         bin_dir = args.corpus
     else:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from make_demo_corpus import write_bins
+        from make_demo_corpus import write_bins, write_v1_bins
         bin_dir = os.path.join(tmp, "bins")
-        write_bins(bin_dir, np.random.default_rng(0), n_bins=args.bins,
-                   rois_per_bin=args.rois, include_v1=False)
+        if args.v1:
+            write_v1_bins(bin_dir, np.random.default_rng(0),
+                          n_bins=args.bins, rois_per_bin=args.rois)
+        else:
+            write_bins(bin_dir, np.random.default_rng(0), n_bins=args.bins,
+                       rois_per_bin=args.rois, include_v1=False)
     bins = sorted(glob.glob(os.path.join(bin_dir, "**", "*.adc"),
                             recursive=True))
     assert bins, f"no bins under {bin_dir}"
@@ -96,7 +105,8 @@ def main():
     ckpt = build_ckpt(os.path.join(tmp, "m.ptl"), args.model, resize)
 
     from ifcb_classifier_tpu.infer.runner import InferenceEngine
-    out = {"bins": len(bins), "batch": args.batch, "model": args.model}
+    out = {"bins": len(bins), "batch": args.batch, "model": args.model,
+           "schema": "v1" if args.v1 else "v2"}
     # explicit True/False (not default None): an inherited
     # IFCBNN_NO_BATCH_LADDER=1 must not silently turn this into
     # full-batch-vs-full-batch with a bogus ~1.0x "speedup"

@@ -107,6 +107,44 @@ def write_bins(root, rng, n_bins=4, rois_per_bin=120,
                    rows, blobdata)
 
 
+def write_v1_bins(root, rng, n_bins=4, rois_per_bin=40):
+    """An ALL-schema-v1 corpus with heterogeneous stitched-frame sizes —
+    the legacy-deployment workload that predict_images serves (stitched
+    frames bypass the native .roi packer). Mixed trigger widths land the
+    frames on several canvas ladders, so this corpus exercises (and
+    tools/bench_perbin.py --v1 measures) ladder-major packing: one wide
+    stitched frame must not inflate a whole chunk of small ones."""
+    os.makedirs(root, exist_ok=True)
+    kinds = ("round", "elongated", "spiky")
+    for b in range(n_bins):
+        rows, blobdata = [], bytearray()
+        trigger = 0
+        t = 0
+        while t < rois_per_bin:
+            trigger += 1
+            # 1-2 ROIs per trigger; occasional wide pair -> a stitched
+            # frame on the 256/512 ladder amid mostly-64-ladder frames
+            parts = int(rng.integers(1, 3))
+            wide = rng.random() < 0.1
+            x_off = 0
+            for _p in range(min(parts, rois_per_bin - t)):
+                h = int(rng.integers(24, 56))
+                w = int(rng.integers(100, 200)) if wide else \
+                    int(rng.integers(24, 56))
+                img = blob(rng, kinds[t % 3], h, w)
+                row = ["0"] * ADC_V1_COLS
+                row[0] = str(trigger)
+                row[9], row[10] = str(x_off), "0"       # roiX, roiY
+                row[11], row[12] = str(w), str(h)       # roiWidth, roiHeight
+                row[13] = str(len(blobdata))            # startByte
+                rows.append(",".join(row))
+                blobdata.extend(img.tobytes())
+                x_off += w
+                t += 1
+        _write_fileset(os.path.join(root, f"IFCB7_2024_{b + 1:03d}_120000"),
+                       rows, blobdata)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dest")

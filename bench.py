@@ -6,11 +6,17 @@ against the chip's peak — the roofline accounting VERDICT r2 asked for).
 
 Methodology (CLAUDE.md benchmarking rules): value = MEDIAN of
 BENCH_TRIALS (default 5) counted trials of BENCH_ITERS (default 50)
-device-resident steps each, after ONE designated warmup trial that is
-reported (`warmup_trial`) but excluded from the statistics — the first
-trial over the axon tunnel is reliably a cold outlier (VERDICT r3 weak #2).
-Every trial ends with real device->host fetches (loss + param checksum)
-because async completion over the tunnel over-reports.
+device-resident steps each, after BENCH_WARMUP_TRIALS (default 2)
+designated warmup trials that are reported (`warmup_trials`) but excluded
+from the statistics — the first trials over the axon tunnel are reliably
+cold outliers (VERDICT r3 weak #2; one warmup proved insufficient: the
+first *counted* trial still ran ~15% cold on occasion). `spread_pct` is
+the full counted range; `iqr_pct` is the interquartile range — both are
+trial-level noise diagnostics; the stability claim attaches to the
+MEDIAN `value`, reproducible run-to-run to ±0.7% (BASELINE.md "Spread
+methodology"). Every trial ends with real
+device->host fetches (loss + param checksum) because async completion
+over the tunnel over-reports.
 
 The reference publishes no numbers (BASELINE.md); `vs_baseline` divides by
 the estimated reference single-GPU throughput recorded in BENCH_BASELINE.json
@@ -99,6 +105,17 @@ def _xla_cost(compiled, key):
 
 def _xla_flops(compiled):
     return _xla_cost(compiled, "flops")
+
+
+def _iqr_pct(trials, center):
+    """Interquartile range as % of the median — less outlier-sensitive
+    than the full range (though with 5 trials a single tunnel-noise trial
+    still moves a quartile; the run-to-run-stable figure is the median
+    itself). None when there are too few trials to quartile."""
+    if len(trials) < 4:
+        return None
+    q = statistics.quantiles(trials, n=4)
+    return round(100.0 * (q[2] - q[0]) / center, 2)
 
 
 def _mfu_fields(flops_per_call, calls_per_sec, peak_scale=1):
@@ -240,8 +257,9 @@ def bench_infer(precision=None, n_trials=None):
     _ = float(acc)
 
     n_trials = n_trials or int(os.environ.get("BENCH_TRIALS", "5"))
+    n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
     trials, call_rates = [], []
-    for _t in range(n_trials + 1):  # +1: designated warmup (excluded below)
+    for _t in range(n_trials + n_warm):  # leading designated warmups
         acc = jnp.zeros((), jnp.float32)
         done = 0
         t0 = time.perf_counter()
@@ -252,10 +270,10 @@ def bench_infer(precision=None, n_trials=None):
         dt = time.perf_counter() - t0
         trials.append(done / dt)
         call_rates.append(len(dev_chunks) / dt)
-    # first trial over the axon tunnel is reliably a cold outlier
-    # (VERDICT r3 weak #2): report it, exclude it from the statistics
-    warmup, trials = trials[0], trials[1:]
-    call_rates = call_rates[1:]
+    # leading trials over the axon tunnel are reliably cold outliers
+    # (VERDICT r3 weak #2): report them, exclude them from the statistics
+    warmup, trials = trials[:n_warm], trials[n_warm:]
+    call_rates = call_rates[n_warm:]
     ips = statistics.median(trials)
     payload = {
         "metric": "raw_bin_inference_imgs_per_sec_per_chip",
@@ -264,9 +282,10 @@ def bench_infer(precision=None, n_trials=None):
         "model": model_name,
         "bn_folded": folded,
         "precision": "int8" if quant else "bf16",
-        "warmup_trial": round(warmup, 1),
+        "warmup_trials": [round(w, 1) for w in warmup],
         "trials": [round(t, 1) for t in trials],
         "spread_pct": round(100.0 * (max(trials) - min(trials)) / ips, 2),
+        "iqr_pct": _iqr_pct(trials, ips),
         # the reference anchor is inception_v3 — a cross-model ratio would
         # be meaningless, so alternate BENCH_MODELs report null
         "vs_baseline": (_vs_baseline(
@@ -327,8 +346,9 @@ def bench_train():
     # and a param checksum so timing covers the whole dependency chain.
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
+    n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
     trials = []
-    for _t in range(n_trials + 1):  # +1: designated warmup (excluded below)
+    for _t in range(n_trials + n_warm):  # leading designated warmups
         t0 = time.perf_counter()
         for i in range(iters):
             state, loss = compiled(state, batch, jax.random.PRNGKey(i))
@@ -340,9 +360,9 @@ def bench_train():
         dt = time.perf_counter() - t0
         trials.append(BATCH * iters / dt)
 
-    # first trial over the axon tunnel is reliably a cold outlier
-    # (VERDICT r3 weak #2): report it, exclude it from the statistics
-    warmup, trials = trials[0], trials[1:]
+    # leading trials over the axon tunnel are reliably cold outliers
+    # (VERDICT r3 weak #2): report them, exclude them from the statistics
+    warmup, trials = trials[:n_warm], trials[n_warm:]
     imgs_per_sec = statistics.median(trials)
     spread_pct = round(100.0 * (max(trials) - min(trials)) / imgs_per_sec, 2)
     vs_baseline = _vs_baseline(imgs_per_sec, "ref_gpu_estimate_imgs_per_sec",
@@ -352,11 +372,12 @@ def bench_train():
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2),
-        "warmup_trial": round(warmup, 1),
+        "warmup_trials": [round(w, 1) for w in warmup],
         "trials": [round(t, 1) for t in trials],
         "iters_per_trial": iters,
         "batch": BATCH,
         "spread_pct": spread_pct,
+        "iqr_pct": _iqr_pct(trials, imgs_per_sec),
     }
     if step_flops:
         payload["xla_flops_per_step"] = step_flops

@@ -240,7 +240,7 @@ def main():
                     help="batch size (default 108; demo modes default 16)")
     ap.add_argument("--seed", type=int, default=61)
     ap.add_argument("--min-agreement", type=float, default=0.995,
-                    help="top-1 agreement gate (0.995 = the ±0.5% target)")
+                    help="top-1 agreement gate (0.995 = the ±0.5%% target)")
     ap.add_argument("--int8", action="store_true",
                     help="also RUN the int8 quantized tier (models/quant.py)"
                          " on the same bins and gate ITS top-1 agreement "

@@ -884,6 +884,72 @@ def do_run(args, engine=None):
         EVICT_AFTER = 3
         absent_count = {}  # pid str -> consecutive scans missing
 
+        # RESTART RESUME (watch + tracked aggregate): bin_contrib is the one
+        # piece of state that cannot be rebuilt from the output files without
+        # re-running the model, so it is persisted after every pass to a
+        # sidecar in the outdir and reloaded on service start. Without it, a
+        # restarted `--watch --summary` service would reclassify EVERY
+        # fresh-output bin just to repopulate the live aggregate — unbounded
+        # recompute on a large archive. Bins missing from the sidecar (first
+        # deploy, corrupt/version-skewed file, model change) still fall back
+        # to reclassification, which stays correct, just slower.
+        state_path = os.path.join(args.outdir,
+                                  rank_suffixed(".watch_state.json"))
+        # dirty-flag: the sidecar is rewritten only when a contribution
+        # actually changed — idle passes over a static directory touch
+        # nothing (the steady-state soak test pins outputs byte-stable)
+        _ws_dirty = [False]
+
+        def save_watch_state():
+            if not (watch and track_agg):
+                return
+            if not (_ws_dirty[0]
+                    or (bin_contrib and not os.path.isfile(state_path))):
+                return
+            _ws_dirty[0] = False
+            import json as _json
+            payload = dict(
+                version=1, model_id=engine.model_id,
+                classes=list(engine.classes), hist_bins=len(agg_hist),
+                contrib={k: [c.tolist(), h.tolist(), int(n)]
+                         for k, (c, h, n) in bin_contrib.items()})
+            os.makedirs(args.outdir, exist_ok=True)
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:  # atomic: a mid-write crash must not
+                _json.dump(payload, f)  # leave a truncated sidecar behind
+            os.replace(tmp, state_path)
+
+        def load_watch_state():
+            nonlocal agg_total, agg_counts, agg_hist, n_done
+            if not (watch and track_agg and os.path.isfile(state_path)):
+                return
+            import json as _json
+            try:
+                with open(state_path) as f:
+                    st = _json.load(f)
+                if (st.get("version") != 1
+                        or st.get("model_id") != engine.model_id
+                        or st.get("classes") != list(engine.classes)
+                        or st.get("hist_bins") != len(agg_hist)):
+                    return  # schema/model changed: rebuild by reclassifying
+                for k, entry in st["contrib"].items():
+                    c, h, n = entry
+                    c, h = np.asarray(c, np.int64), np.asarray(h, np.int64)
+                    if (c.shape != agg_counts.shape
+                            or h.shape != agg_hist.shape):
+                        continue
+                    bin_contrib[k] = (c, h, int(n))
+                    done_pids.add(k)
+                    agg_counts += c
+                    agg_hist += h
+                    agg_total += int(n)
+                n_done = len(done_pids)
+                if bin_contrib:
+                    print("Resumed watch aggregate from {} ({} bins)".format(
+                        state_path, len(bin_contrib)), flush=True)
+            except (ValueError, KeyError, TypeError, OSError):
+                pass  # corrupt sidecar: fall back to reclassification
+
         def evict_stale(seen_pids):
             nonlocal agg_total, agg_counts, agg_hist
             tracked = (done_pids | set(bin_contrib) | set(fail_retry)
@@ -905,6 +971,7 @@ def do_run(args, engine=None):
                     agg_counts -= pc
                     agg_hist -= ph
                     agg_total -= pn
+                    _ws_dirty[0] = True
 
         def record_error(bin_obj, e):
             nonlocal n_errors_total
@@ -991,6 +1058,7 @@ def do_run(args, engine=None):
                     agg_hist += hist
                     agg_total += len(cls)
                     bin_contrib[pid_key] = (counts, hist, len(cls))
+                    _ws_dirty[0] = True
                 if not reclass:
                     n_done += 1
                 new_done += 1
@@ -1056,11 +1124,15 @@ def do_run(args, engine=None):
                             # (writes resumed post-settle) — reclassify;
                             # fresh outputs skip as usual. EXCEPT when the
                             # aggregate is tracked and this pid has no live
-                            # contribution (service restart, or evicted
-                            # while absent and later re-added with outputs
-                            # intact): skipping would leave its ROIs
+                            # contribution: skipping would leave its ROIs
                             # permanently missing from the live aggregate,
-                            # so it is reclassified like a new bin.
+                            # so it is reclassified like a new bin. This is
+                            # the fallback path only — on a service restart
+                            # contributions are resumed from the
+                            # .watch_state.json sidecar (load_watch_state),
+                            # so it fires just for bins the sidecar missed
+                            # (pre-sidecar outputs, eviction + re-add,
+                            # crash between emit and the pass-end save).
                             if min(os.path.getmtime(o)
                                    for o in ofiles) >= newest:
                                 if (not track_agg
@@ -1111,6 +1183,7 @@ def do_run(args, engine=None):
             write_summary(n_done, error_bins)
         else:
             max_passes = getattr(args, "watch_passes", None)  # test hook
+            load_watch_state()  # restart: resume the aggregate from disk
             print("Watching {} every {:g}s (Ctrl-C to stop)".format(
                 args.SRC, watch), flush=True)
             try:
@@ -1118,6 +1191,7 @@ def do_run(args, engine=None):
                     if run_pass():
                         refresh_agg_plots()
                     write_summary(n_done, error_bins)
+                    save_watch_state()
                     pass_no += 1
                     if max_passes and pass_no >= max_passes:
                         break

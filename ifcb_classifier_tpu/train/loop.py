@@ -108,15 +108,21 @@ def do_training(args):
         from ..results.plots import validate_plot_files
         validate_plot_files(args.plot_files, which="train")
     from ..utils.config import parse_mesh
-    _ff_data, _ = parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
-    _ff_proc = jax.process_count()
-    if _ff_proc > 1 and _ff_data < _ff_proc and _ff_proc % _ff_data:
-        # replica-group divisibility (see the group setup below): computable
-        # from argv + device/process counts alone, so it fails HERE, not
-        # after the dataset walk
+    n_dev = len(jax.devices())  # global across processes
+    n_proc = jax.process_count()
+    n_data, n_model = parse_mesh(getattr(args, "mesh", None), n_dev)
+    if n_proc > 1 and n_data % n_proc and n_proc % n_data:
+        # each host feeds an equal slice of the global batch
+        # (make_array_from_process_local_data): the 'data' axis must either
+        # split evenly across hosts (DP) or divide the host count evenly
+        # (model axis spanning hosts — replica groups, set up below). This
+        # is the ONE mesh/process divisibility gate, computable from argv +
+        # device/process counts alone, so it fails HERE, not after the
+        # dataset walk
         raise ValueError(
-            f"--mesh with data axis {_ff_data}: must be a multiple of "
-            f"the process count ({_ff_proc}) or divide it evenly")
+            f"--mesh {n_data}x{n_model}: the data axis must be a "
+            f"multiple of the process count ({n_proc}) or divide it "
+            "evenly in multi-host runs")
     _resolve_dtype(getattr(args, "precision", None))  # int8 rejected HERE,
     if args.img_norm:                  # not minutes into a large tree walk
         parse_imgnorm(args.img_norm)
@@ -167,7 +173,7 @@ def do_training(args):
     # Loaders (reference DataLoader roles, neuston_net.py:80-84).
     # Multi-host: each process loads only its slice of the manifest and
     # contributes a per-host sub-batch; --batch stays the GLOBAL batch size.
-    n_proc = jax.process_count()
+    # (n_proc / n_dev / n_data / n_model parsed once in the fail-fast block.)
     tr_items, tr_labels = training_dataset.images, training_dataset.targets
     va_items, va_labels = validation_dataset.images, validation_dataset.targets
     tr_real, va_real = len(tr_items), len(va_items)
@@ -185,10 +191,9 @@ def do_training(args):
     # make_array_from_process_local_data requires replica hosts to pass the
     # same rows). make_mesh reshapes jax.devices() process-major, so group =
     # the process's data-row index.
-    n_data_g, _ = parse_mesh(getattr(args, "mesh", None), len(jax.devices()))
-    if n_proc > 1 and n_data_g < n_proc:
+    if n_proc > 1 and n_data < n_proc:
         # divisibility already validated in the fail-fast block up top
-        n_groups, group = n_data_g, jax.process_index() * n_data_g // n_proc
+        n_groups, group = n_data, jax.process_index() * n_data // n_proc
     else:
         n_groups, group = n_proc, jax.process_index()
     if n_proc > 1:
@@ -281,22 +286,11 @@ def do_training(args):
     # --mesh DATAxMODEL) the classifier head over 'model' (parallel/mesh.py);
     # XLA emits the gradient psums/all-gathers from the sharding
     # annotations. Single device degenerates to plain jit.
-    from ..utils.config import parse_mesh
-    n_dev = len(jax.devices())  # global across processes
-    n_data, n_model = parse_mesh(getattr(args, "mesh", None), n_dev)
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
-        if n_proc > 1 and n_data % n_proc and n_proc % n_data:
-            # each host feeds an equal slice of the global batch
-            # (make_array_from_process_local_data below); the 'data' axis
-            # must either split evenly across hosts (DP) or divide the
-            # host count evenly (model axis spanning hosts — replica
-            # groups, set up with the loaders above)
-            raise ValueError(
-                f"--mesh {n_data}x{n_model}: the data axis must be a "
-                f"multiple of the process count ({n_proc}) or divide it "
-                "evenly in multi-host runs")
+        # mesh/process divisibility already gated in the fail-fast block
+        # up top (parse-once: n_data/n_model/n_proc/n_dev from there).
         # each micro-batch (batch/accum rows) must itself shard evenly
         # over the 'data' axis, so the divisor is n_data*accum
         div = n_data * accum

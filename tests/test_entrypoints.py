@@ -125,8 +125,28 @@ class TestBenchLedgerFailSoft:
         assert "tunnel reset by peer" in out["infer_int8_error"]
         assert "infer_int8_vs_v100" not in out
         assert out["train_vs_anchor"]["v100"] == round(2000.0 / 390, 2)
+        # the verdict is DERIVED, and honest about the dead tier
+        assert "FAILED this run" in out["perf_verdict"]
+        assert ">=10x met vs {k80, p100}" in out["perf_verdict"]
         import json as _json
         _json.dumps(out)  # the artifact line must stay serializable
+
+    def test_perf_verdict_tracks_a_regression(self, monkeypatch):
+        """The verdict text must be computed from the measured fields
+        beside it (the round-4 review caught a hardcoded '>=10x met vs
+        K80' that would survive any throughput collapse)."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setattr(
+            bench, "bench_infer",
+            lambda precision=None, n_trials=None: {"value": 100.0,
+                                                   "mfu_pct": 1.0})
+        out = bench._ledger({"value": 300.0})  # collapsed train tier
+        assert ">=10x NOT met" in out["perf_verdict"]
+        assert "roofline ceiling unavailable" in out["perf_verdict"]
+        out = bench._ledger({"value": 2000.0,
+                             "pct_of_roofline_ceiling": 90.7})
+        assert "90.7% of the HBM roofline ceiling" in out["perf_verdict"]
 
 
 class TestBenchBackendWatchdog:

@@ -85,3 +85,29 @@ def test_engine_tp_scores_match_dp(tmp_path):
     p_dp = InferenceEngine(ck, batch_size=8).predict_images(imgs)
     p_tp = InferenceEngine(ck, batch_size=8, mesh="4x2").predict_images(imgs)
     np.testing.assert_allclose(p_tp, p_dp, atol=1e-4)
+
+
+def test_mesh_process_divisibility_fails_before_dataset_walk(tmp_path,
+                                                             monkeypatch):
+    """BOTH non-divisible directions must die in the pre-scan fail-fast
+    block (the round-4 review found n_data > n_proc slipped through to the
+    post-walk check): SRC here doesn't even exist, so reaching the dataset
+    scan would raise something other than the --mesh ValueError."""
+    import argparse
+    import jax
+    from ifcb_classifier_tpu.train.loop import do_training
+
+    monkeypatch.setattr(jax, "process_count", lambda: 6)
+    args = argparse.Namespace(
+        cmd_timestamp="2026-08-20T00:00:00+00:00", model_id="m",
+        TRAIN_ID="t", outdir=str(tmp_path / "out"),
+        SRC=str(tmp_path / "does-not-exist"), mesh="8x1")
+    with pytest.raises(ValueError, match="--mesh 8x1"):
+        do_training(args)       # n_data=8 > n_proc=6, 6 % 8 != 0
+    args.mesh = "4x2"
+    with pytest.raises(ValueError, match="--mesh 4x2"):
+        do_training(args)       # n_data=4 < n_proc=6, 6 % 4 != 0
+    args.mesh = "2x4"           # 2 divides 6: replica groups — must PASS
+    with pytest.raises(Exception) as ei:  # ...the gate, then die on SRC
+        do_training(args)
+    assert "--mesh" not in str(ei.value)

@@ -1113,7 +1113,11 @@ class TestWatchSteadyState:
 
         assert len(snaps) == 11  # 12 passes, one sleep between each
         baseline = snaps[0][0]
-        assert len(baseline) == 3  # one output per bin after pass 1
+        # one output per bin after pass 1, plus the aggregate-resume
+        # sidecar — written once when contributions change on pass 1 and
+        # (held byte-stable below) NEVER rewritten across idle passes
+        assert len(baseline) == 4
+        assert ".watch_state.json" in baseline
         for files, _ in snaps[1:]:  # never rewritten, never re-dated
             assert files == baseline
         # heap flat across the idle passes (pass 2 → pass 12, after the
@@ -1319,3 +1323,122 @@ class TestRound3Hardening:
                                  img_norm=None, pretrained=pretrained))
             eng = InferenceEngine(ck, batch_size=8)
             assert eng.model.transform_input is expect
+
+
+class TestWatchRestartResume:
+    """Service restart with a tracked aggregate (--summary/--plot) resumes
+    per-bin contributions from the .watch_state.json sidecar instead of
+    reclassifying every fresh-output bin in the archive (the round-4 review
+    found restart cost scaled with the whole archive, not with new work)."""
+
+    def _quiesce(self, root):
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+
+    def test_restart_skips_classified_bins_and_keeps_aggregate(
+            self, ckpt, tmp_path, monkeypatch):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20260101T000000_IFCB900",
+                  [make_roi(12, 14, 1), make_roi(9, 9, 2)], 2)
+        write_bin(str(root), "D20260102T000000_IFCB900",
+                  [make_roi(16, 16, 3)], 2)
+        self._quiesce(root)
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        st = json.load(open(os.path.join(out, ".watch_state.json")))
+        assert st["model_id"] == "m" and len(st["contrib"]) == 2
+        s1 = json.load(open(os.path.join(out, "live.json")))
+        assert s1["n_bins_done"] == 2 and s1["n_rois"] == 3
+
+        # restart: outputs are fresh, sidecar present -> ZERO inference
+        calls = {"n": 0}
+        real = runner.InferenceEngine.predict_bin
+        monkeypatch.setattr(
+            runner.InferenceEngine, "predict_bin",
+            lambda self, b: (calls.__setitem__("n", calls["n"] + 1),
+                             real(self, b))[1])
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        assert calls["n"] == 0
+        s2 = json.load(open(os.path.join(out, "live.json")))
+        assert s2["n_bins_done"] == 2 and s2["n_rois"] == 3
+        assert s2["class_counts"] == s1["class_counts"]
+        assert s2["score_histogram"] == s1["score_histogram"]
+
+    def test_corrupt_or_missing_sidecar_falls_back_to_reclassify(
+            self, ckpt, tmp_path, monkeypatch):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20260103T000000_IFCB900",
+                  [make_roi(10, 10, 1)], 2)
+        self._quiesce(root)
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        args = lambda: run_args(str(root), ckpt, out, watch=3600.0,
+                                watch_passes=1, summary="live.json")
+        runner.do_run(args())
+        sidecar = os.path.join(out, ".watch_state.json")
+        with open(sidecar, "w") as f:
+            f.write("{ not json")
+        runner.do_run(args())  # must not crash; reclassifies instead
+        s = json.load(open(os.path.join(out, "live.json")))
+        assert s["n_bins_done"] == 1 and s["n_rois"] == 1  # not doubled
+        st = json.load(open(sidecar))  # rewritten valid after the pass
+        assert len(st["contrib"]) == 1
+
+    def test_model_change_invalidates_sidecar(self, ckpt, tmp_path,
+                                              monkeypatch):
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20260104T000000_IFCB900",
+                  [make_roi(11, 13, 1)], 2)
+        self._quiesce(root)
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        sidecar = os.path.join(out, ".watch_state.json")
+        st = json.load(open(sidecar))
+        st["model_id"] = "some-other-model"
+        with open(sidecar, "w") as f:
+            json.dump(st, f)
+        calls = {"n": 0}
+        real = runner.InferenceEngine.predict_bin
+        monkeypatch.setattr(
+            runner.InferenceEngine, "predict_bin",
+            lambda self, b: (calls.__setitem__("n", calls["n"] + 1),
+                             real(self, b))[1])
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        assert calls["n"] == 1  # stale sidecar ignored: rebuilt by re-run
+        s = json.load(open(os.path.join(out, "live.json")))
+        assert s["n_rois"] == 1
+
+    def test_evicted_sidecar_bin_subtracted(self, ckpt, tmp_path,
+                                            monkeypatch):
+        """A sidecar contribution for a bin deleted from disk is evicted
+        after EVICT_AFTER passes, keeping live-directory semantics."""
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        keep = "D20260105T000000_IFCB900"
+        gone = "D20260106T000000_IFCB900"
+        write_bin(str(root), keep, [make_roi(10, 10, 1)], 2)
+        write_bin(str(root), gone, [make_roi(12, 12, 2),
+                                    make_roi(8, 8, 3)], 2)
+        self._quiesce(root)
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        for f in list(os.listdir(root)):
+            if f.startswith(gone):
+                os.remove(os.path.join(root, f))
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=4, summary="live.json"))
+        s = json.load(open(os.path.join(out, "live.json")))
+        assert s["n_rois"] == 1  # the deleted bin's 2 ROIs subtracted
+        st = json.load(open(os.path.join(out, ".watch_state.json")))
+        assert list(st["contrib"]) == [keep]

@@ -862,6 +862,9 @@ def do_run(args, engine=None):
         error_bins = []   # most recent MAX_ERRORS only (bounded for --watch)
         MAX_ERRORS = 200
         n_done = 0
+        session_done = 0  # bins classified by THIS process run — n_done
+        # can resume >0 from the watch-state sidecar, which would
+        # otherwise keep --profile's start gate from ever firing
         # --watch staleness self-heal reclassifies grown bins; without
         # per-bin bookkeeping every reclassification would double-count the
         # bin's ROIs in the aggregate plots/summary and bump n_done again.
@@ -994,10 +997,10 @@ def do_run(args, engine=None):
 
         def maybe_profile():
             nonlocal profile_bins, profiling
-            if profile_bins and not profiling and n_done == 0:
+            if profile_bins and not profiling and session_done == 0:
                 jax.profiler.start_trace(os.path.join(args.outdir, "profile"))
                 profiling = True
-            elif profiling and n_done >= profile_bins:
+            elif profiling and session_done >= profile_bins:
                 jax.profiler.stop_trace()
                 profiling = False
                 profile_bins = 0
@@ -1014,6 +1017,19 @@ def do_run(args, engine=None):
         def run_pass():
             """One sweep over SRC; returns number of bins newly classified."""
             nonlocal n_done
+            if watch and not os.path.isdir(args.SRC):
+                # transient SRC disappearance (NFS/mount flap): SRC was
+                # validated as a directory at startup, so a missing dir
+                # here is an infrastructure hiccup. Falling through would
+                # hit make_dd's single-bin branch and raise (killing the
+                # service), and an "empty" pass would advance eviction
+                # bookkeeping toward dropping EVERY bin's contribution.
+                # Skip the whole pass — including eviction — and retry on
+                # the next one.
+                print("\nwatch: SRC {} is not a directory this pass "
+                      "(mount flap?) — skipping pass".format(args.SRC),
+                      flush=True)
+                return 0
             new_done = 0
             seen_pids = set()  # every pid on disk this pass (pre-filter)
 
@@ -1021,7 +1037,8 @@ def do_run(args, engine=None):
                 """Write files/plots for one completed bin (called directly
                 on the per-bin path, or by the gobig aggregator whenever a
                 bin's last ROI returns)."""
-                nonlocal n_done, new_done, agg_total, agg_counts, agg_hist
+                nonlocal n_done, session_done, new_done, \
+                    agg_total, agg_counts, agg_hist
                 input_images = [bin_obj.with_target(t) for t in targets]
                 for outfile in args.outfile:
                     save_run_results(input_images, probs, engine.classes,
@@ -1061,6 +1078,7 @@ def do_run(args, engine=None):
                     _ws_dirty[0] = True
                 if not reclass:
                     n_done += 1
+                session_done += 1
                 new_done += 1
                 maybe_profile()
                 print(".", end="", flush=True)
@@ -1072,8 +1090,15 @@ def do_run(args, engine=None):
                    if getattr(args, "gobig", False) else None)
 
             for bin_no, bin in enumerate(make_dd()):
+                # namespace = bin's subdirs under SRC. PREFIX-anchored
+                # strip (reference quirk FIXED, QUIRKS.md): the reference's
+                # `.replace(args.SRC, '')` (neuston_net.py:234) removes
+                # EVERY occurrence, so a tree like SRC=/data with a bin at
+                # /data/ifcb/data/D2021/... collapsed the namespace and
+                # {INPUT_SUBDIRS} outputs landed in a wrong directory.
+                bp = bin.fileset.basepath
                 rel = os.path.dirname(
-                    bin.fileset.basepath.replace(args.SRC, ""))
+                    bp[len(args.SRC):] if bp.startswith(args.SRC) else bp)
                 bin.pid.namespace = rel + os.sep if rel else ""
                 bin_obj = bin.pid
                 seen_pids.add(str(bin_obj))

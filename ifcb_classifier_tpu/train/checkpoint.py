@@ -204,6 +204,18 @@ def load_train_state(path: str, template_state):
     return state, json.loads(payload["extra_json"])
 
 
+def peek_train_state_extra(path: str) -> dict:
+    """The extra/bookkeeping dict of a train-state checkpoint, without a
+    template state. Used by --resume BEFORE the model (or even the
+    dataset split) exists — notably to recover the run's seed, which the
+    split derives from."""
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if payload.get("format") != FORMAT_TAG + "-trainstate":
+        raise ValueError(f"{path}: not an ifcbnn train-state checkpoint")
+    return json.loads(payload["extra_json"])
+
+
 def tree_float32(tree):
     """Cast all float leaves to f32 (load-time normalization).
 

@@ -135,8 +135,6 @@ def do_training(args):
                     "--results {}: unknown FNAME placeholder; available: "
                     "{{epoch}}".format(rf[0])) from None
 
-    args.seed = seed_everything(args.seed)
-
     # multi-host: every rank runs the IDENTICAL command (sbatch renders one
     # srun line), so a shared --outdir would have N ranks racing the same
     # checkpoint/csv/manifest writes (tmp+rename collides and kills the
@@ -147,6 +145,32 @@ def do_training(args):
         args.outdir = os.path.join(args.outdir,
                                    f"rank{jax.process_index()}")
     os.makedirs(args.outdir, exist_ok=True)
+
+    # --resume must reuse the ORIGINAL run's seed (recorded in last.state):
+    # the train/val split membership is derived from args.seed, and a
+    # no-seed run draws a random one per invocation — without restoration,
+    # resuming would silently regenerate a DIFFERENT split, leaking images
+    # already trained on into the new validation set. A conflicting
+    # explicit --seed is rejected loudly for the same reason.
+    _resume_state = os.path.join(args.outdir, "chkpts", "last.state")
+    if getattr(args, "resume", False) and os.path.isfile(_resume_state):
+        from .checkpoint import peek_train_state_extra
+        _saved_seed = peek_train_state_extra(_resume_state).get("seed")
+        if _saved_seed is not None:
+            if args.seed and int(args.seed) != int(_saved_seed):
+                raise ValueError(
+                    f"--resume: this run was trained with seed "
+                    f"{_saved_seed}; resuming with --seed {args.seed} "
+                    "would regenerate a different train/val split "
+                    "mid-run. Drop --seed or pass the matching one.")
+            args.seed = int(_saved_seed)
+        elif not args.seed:
+            print("WARNING: resuming a pre-seed-recording run without "
+                  "--seed: a fresh random seed will re-draw the train/val "
+                  "split — pass the original run's seed (args.yml) to "
+                  "keep it.")
+
+    args.seed = seed_everything(args.seed)
 
     # Datasets + manifests (neuston_net.py:68-75)
     training_dataset, validation_dataset = get_trainval_datasets(args)
@@ -447,8 +471,12 @@ def do_training(args):
 
     epoch = start_epoch
     state_saved_epoch = -1
+    trained_this_invocation = False  # a --resume of a COMPLETED run must
+    # not rewrite last.state: `epoch` pre-set above names an epoch that
+    # never ran, and each no-op resume would advance the cursor by one
     step_count = 0
     for epoch in range(start_epoch, args.emax):
+        trained_this_invocation = True
         # --- train ---
         t0 = time.time()
         epoch_losses = []  # device scalars; ONE host sync at epoch end —
@@ -550,7 +578,7 @@ def do_training(args):
             save_train_state(last_state_path, state, dict(
                 epoch=epoch, best_val_loss=best_val_loss,
                 best_epoch=best_epoch, best_ckpt_path=best_ckpt_path,
-                csv_rows=epoch_csv.rows,
+                csv_rows=epoch_csv.rows, seed=args.seed,
                 rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
             state_saved_epoch = epoch
 
@@ -568,11 +596,12 @@ def do_training(args):
     # IFCBNN_STATE_EVERY>1 may leave last.state at an earlier epoch; write
     # the FINAL epoch's state so --resume of a completed run stays a no-op
     # (it would otherwise silently re-train and rewrite the tail outputs)
-    if epoch_csv.rows and state_saved_epoch != epoch:
+    if epoch_csv.rows and trained_this_invocation \
+            and state_saved_epoch != epoch:
         save_train_state(last_state_path, state, dict(
             epoch=epoch, best_val_loss=best_val_loss,
             best_epoch=best_epoch, best_ckpt_path=best_ckpt_path,
-            csv_rows=epoch_csv.rows,
+            csv_rows=epoch_csv.rows, seed=args.seed,
             rng=[int(x) for x in np.asarray(jax.device_get(rng))]))
 
     # Copy best model (neuston_net.py:117-120)

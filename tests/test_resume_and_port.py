@@ -28,6 +28,66 @@ class TestResume:
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
+    def test_resume_restores_the_drawn_seed(self, tmp_path):
+        """A run launched WITHOUT --seed draws a random one; --resume must
+        reuse it (recorded in last.state) — the train/val split membership
+        is derived from the seed, so a fresh draw would silently
+        regenerate a different split mid-run, leaking trained-on images
+        into the new validation set (round-4 review finding). A
+        conflicting explicit --seed on resume is rejected loudly."""
+        import yaml
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 8, "b": 8}, size=(20, 20))
+            outdir = str(tmp_path / "out")
+            from ifcb_classifier_tpu.train.loop import do_training
+            do_training(make_args(src, outdir, emax=1, seed=0))  # no --seed
+            lists = {n: open(os.path.join(outdir, n)).read()
+                     for n in ("training_images.list",
+                               "validation_images.list")}
+            with open(os.path.join(outdir, "args.yml")) as f:
+                seed0 = yaml.safe_load(f)["seed"]
+            assert seed0  # a concrete seed was drawn and recorded
+            do_training(make_args(src, outdir, emax=2, seed=0, resume=True))
+            with open(os.path.join(outdir, "args.yml")) as f:
+                assert yaml.safe_load(f)["seed"] == seed0  # reused, not
+            for n, before in lists.items():               # re-drawn
+                assert open(os.path.join(outdir, n)).read() == before
+            with pytest.raises(ValueError, match="seed"):
+                do_training(make_args(src, outdir, emax=3,
+                                      seed=seed0 + 1, resume=True))
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
+    def test_noop_resume_of_completed_run_keeps_cursor(self, tmp_path):
+        """--resume of an already-completed run must not advance the
+        last.state epoch cursor (it used to gain one phantom epoch per
+        no-op invocation, silently skipping real epochs when the run was
+        later extended with a larger --emax)."""
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 8, "b": 8}, size=(20, 20))
+            outdir = str(tmp_path / "out")
+            from ifcb_classifier_tpu.train.checkpoint import (
+                peek_train_state_extra)
+            from ifcb_classifier_tpu.train.loop import do_training
+            state_path = os.path.join(outdir, "chkpts", "last.state")
+            do_training(make_args(src, outdir, emax=2, seed=5))
+            assert peek_train_state_extra(state_path)["epoch"] == 1
+            for _ in range(2):  # repeated no-op resumes: cursor pinned
+                do_training(make_args(src, outdir, emax=2, seed=5,
+                                      resume=True))
+                assert peek_train_state_extra(state_path)["epoch"] == 1
+            # extending afterwards trains EXACTLY the missing epochs
+            do_training(make_args(src, outdir, emax=4, seed=5, resume=True))
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                rows = list(csv.DictReader(f))
+            assert [int(r["epoch"]) for r in rows] == [0, 1, 2, 3]
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
     def test_resume_rng_stream_continuity(self, tmp_path):
         """Train-4-straight must equal train-2 + resume-2 EXACTLY: the
         carried augmentation/dropout PRNG key is persisted in last.state, so

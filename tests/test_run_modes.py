@@ -1442,3 +1442,90 @@ class TestWatchRestartResume:
         assert s["n_rois"] == 1  # the deleted bin's 2 ROIs subtracted
         st = json.load(open(os.path.join(out, ".watch_state.json")))
         assert list(st["contrib"]) == [keep]
+
+
+class TestRound4ReviewFindings:
+    """Regression tests for the second round-4 review pass."""
+
+    def test_watch_survives_src_mount_flap(self, ckpt, tmp_path,
+                                           monkeypatch, capsys):
+        """A transient disappearance of the watched SRC directory (NFS
+        flap) must neither kill the service nor advance eviction toward
+        dropping every bin's aggregate contribution."""
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        hidden = tmp_path / "hidden"
+        pid = "D20260201T000000_IFCB900"
+        write_bin(str(root), pid, [make_roi(10, 10, 1), make_roi(8, 8, 2)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+
+        flaps = {"n": 0}
+        def sleep(s):  # SRC vanishes for passes 2-5 (> EVICT_AFTER=3)
+            flaps["n"] += 1
+            if flaps["n"] == 1:
+                os.rename(root, hidden)
+            elif flaps["n"] == 5:
+                os.rename(hidden, root)
+        monkeypatch.setattr(runner.time, "sleep", sleep)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=7, summary="live.json"))
+        assert "skipping pass" in capsys.readouterr().out
+        s = json.load(open(os.path.join(out, "live.json")))
+        # contribution survived the flap: no eviction, no reclassification
+        assert s["n_bins_done"] == 1 and s["n_rois"] == 2
+        st = json.load(open(os.path.join(out, ".watch_state.json")))
+        assert list(st["contrib"]) == [pid]
+
+    def test_namespace_with_repeated_src_segment(self, ckpt, tmp_path):
+        """{INPUT_SUBDIRS} must come from a PREFIX-anchored strip of SRC:
+        the reference's replace() removes every occurrence, collapsing the
+        namespace when a subdirectory path repeats the SRC string
+        (QUIRKS.md FIXED row; neuston_net.py:234)."""
+        from ifcb_classifier_tpu.infer.runner import do_run
+        src = tmp_path / "data"
+        # a bin whose subtree CONTAINS the SRC path string again
+        inner = str(src) + str(src)  # e.g. /tmp/x/data/tmp/x/data
+        pid = "D20260202T000000_IFCB900"
+        write_bin(inner, pid, [make_roi(12, 12, 1)], 2)
+        out = str(tmp_path / "out")
+        do_run(run_args(str(src), ckpt, out,
+                        outfile=["{INPUT_SUBDIRS}/{BIN_ID}.json"]))
+        expect = os.path.join(out, str(src).lstrip(os.sep), pid + ".json")
+        assert os.path.isfile(expect), (
+            expect, [os.path.join(dp, f) for dp, _, fs in os.walk(out)
+                     for f in fs])
+
+    def test_profile_starts_on_restarted_watch_with_sidecar(
+            self, ckpt, tmp_path, monkeypatch):
+        """--profile N on a restarted --watch service: the start gate must
+        key on bins classified THIS session — the sidecar resume sets
+        n_done > 0 before any bin is classified, which used to pin the
+        profiler off forever."""
+        from ifcb_classifier_tpu.infer import runner
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20260203T000000_IFCB900",
+                  [make_roi(10, 10, 1)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        # restart with one NEW bin arriving and --profile 1
+        write_bin(str(root), "D20260204T000000_IFCB900",
+                  [make_roi(9, 9, 2)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+        calls = {"start": 0, "stop": 0}
+        monkeypatch.setattr(
+            runner.jax.profiler, "start_trace",
+            lambda *a, **k: calls.__setitem__("start", calls["start"] + 1))
+        monkeypatch.setattr(
+            runner.jax.profiler, "stop_trace",
+            lambda *a, **k: calls.__setitem__("stop", calls["stop"] + 1))
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json",
+                               profile=1))
+        assert calls["start"] == 1 and calls["stop"] == 1

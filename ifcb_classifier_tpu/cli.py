@@ -22,6 +22,9 @@ def main(args, engine=None):
     if args.cmd_mode == "TRAIN":
         from .train.loop import do_training
         do_training(args)
+    elif args.cmd_mode == "VAL":
+        from .train.evaluate import do_validation
+        do_validation(args)
     else:  # RUN
         from .infer.runner import do_run
         do_run(args, engine=engine)
@@ -38,9 +41,14 @@ def argparse_nn(parser=None):
     subparsers = parser.add_subparsers(
         dest="cmd_mode",
         help='Pick exactly one sub-command. Note: optional '
-             'arguments (below) must be specified before "TRAIN" or "RUN"')
+             'arguments (below) must be specified before "TRAIN", "RUN", '
+             'or "VAL"')
     train = subparsers.add_parser("TRAIN", help="Train a new model")
     run = subparsers.add_parser("RUN", help="Run a previously trained model")
+    val = subparsers.add_parser(
+        "VAL", help="Evaluate a previously trained model on a labeled "
+                    "dataset (TRAIN-comparable metrics + result files; "
+                    "beyond-reference, QUIRKS.md)")
 
     common = parser.add_argument_group(title="NN Common Args")
     common.add_argument("--batch", dest="batch_size", metavar="SIZE",
@@ -74,7 +82,49 @@ def argparse_nn(parser=None):
 
     argparse_nn_train(train)
     argparse_nn_run(run)
+    argparse_nn_val(val)
     return parser
+
+
+def argparse_nn_val(val):
+    """VAL: offline evaluation (train/evaluate.py — see its docstring for
+    the semantics contract). Flag spellings mirror TRAIN's where shared."""
+    val.add_argument("SRC", help="Directory with class-label subfolders and "
+                     "images, labeled with the checkpoint's class names "
+                     "(or names mapped to them via --class-config)")
+    val.add_argument("MODEL", help="Path to a trained model artifact "
+                     "(.ptl checkpoint, as produced by TRAIN)")
+    val.add_argument("VAL_ID", help="Evaluation ID. Used by --outdir; "
+                     "recorded as model_id in the result files")
+
+    data = val.add_argument_group(title="Dataset Adjustments")
+    data.add_argument("--class-config", metavar=("CSV", "COL"), nargs=2,
+                      help="Skip and combine classes as defined by column "
+                           "COL of a special CSV configuration file (same "
+                           "semantics as TRAIN — use it to map new folder "
+                           "names onto the checkpoint's classes)")
+    data.add_argument("--class-min", metavar="MIN", default=1, type=int,
+                      help="Exclude classes with fewer than MIN instances. "
+                           "Default is 1 (evaluate everything — unlike "
+                           "TRAIN, dropping small classes would silently "
+                           "change the measurement)")
+    data.add_argument("--class-max", metavar="MAX", default=None, type=int,
+                      help="Limit classes to a MAX number of instances.")
+
+    out = val.add_argument_group(title="Output Options")
+    out.add_argument("--outdir", default="val-output/{VAL_ID}",
+                     help='Default is "val-output/{VAL_ID}"')
+    out.add_argument("--args-log", metavar="ALOG", default="args.yml",
+                     help="Specify a human-readable yaml filename. "
+                          "Default is args.yml")
+    out.add_argument("--results", dest="result_files",
+                     metavar=("FNAME", "SERIES"), nargs="+", action="append",
+                     help="FNAME: results filename (.json .h5 .mat; "
+                          '"{epoch}" renders as "VAL"). SERIES: data series '
+                          "to include — same vocabulary as TRAIN --results; "
+                          "the training_* series are empty (no training set "
+                          "in an offline evaluation). Default: "
+                          "val_results.json with the standard series.")
 
 
 def argparse_nn_train(train):
@@ -314,7 +364,8 @@ def main_cli(argv=None):
     parser = argparse_nn()
     args = parser.parse_args(argv)
     if args.cmd_mode is None:
-        parser.error('missing sub-command: specify "TRAIN" or "RUN".')
+        parser.error('missing sub-command: specify "TRAIN", "RUN", '
+                     'or "VAL".')
     enable_compile_cache()
     from .parallel.distributed import initialize_from_env
     initialize_from_env()

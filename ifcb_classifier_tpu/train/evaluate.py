@@ -1,0 +1,173 @@
+"""VAL verb: offline evaluation of a saved model on a labeled dataset.
+
+Beyond-reference addition (QUIRKS.md "Additions"): the reference can only
+measure accuracy DURING training — its validation metrics/result files are
+a side effect of TRAIN (`neuston_callbacks.py:20-156` fire on best epochs),
+and RUN emits unlabeled scores only. Evaluating an existing model on a new
+labeled set (a fresh season's annotations, a cross-instrument check, an
+acceptance gate before deployment) required retraining or ad-hoc scripts.
+
+VAL reuses TRAIN's exact validation machinery so its numbers are directly
+comparable to epochs.csv / the TRAIN result files:
+  * same eval step (`train/state.make_eval_step` — forward + masked
+    mean-CE + softmax, validation_step parity, neuston_models.py:94-103),
+    with the model rebuilt exactly as the checkpoint describes
+    (pretrained/transform_input round-trip) and NO BN folding;
+  * same fused on-device preprocess (f32, checkpoint img-norm/resize);
+  * same result-file writer and series vocabulary
+    (`results/validation.py`, `--results FNAME SERIES...`). The
+    training_* series are empty and train_counts_perclass is all-zero —
+    there is no training set in an offline evaluation — and
+    counts_perclass counts the evaluated set;
+  * val_loss is the SUM over batches (the reference's batch-count-
+    dependent quirk, kept for comparability with epochs.csv).
+
+Class mapping: the checkpoint's class list defines the output indices.
+Every class discovered under SRC (after an optional --class-config merge,
+same semantics as TRAIN) must exist in the checkpoint's classes; unknown
+classes fail loudly rather than silently mis-scoring. Checkpoint classes
+absent from SRC are fine (zero rows, zero counts).
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def do_validation(args):
+    """Evaluate args.MODEL on the labeled folder tree args.SRC."""
+    from ..data.datasets import NeustonDataset, parse_imgnorm
+    from ..data.pipeline import HostLoader, prefetch
+    from ..models import get_namebrand_model
+    from ..ops.preprocess import preprocess_batch
+    from ..results.validation import (DEFAULT_SERIES,
+                                      compute_validation_results,
+                                      save_validation_results)
+    from ..train.checkpoint import load_checkpoint
+    from ..train.state import make_eval_step
+    from ..utils.config import resolve_dtype
+
+    args.model_id = args.VAL_ID
+    os.makedirs(args.outdir, exist_ok=True)
+    dtype = resolve_dtype(getattr(args, "precision", None))
+
+    params, batch_stats, hp = load_checkpoint(args.MODEL)
+    classes = [str(c) for c in hp["classes"]]
+    resize = int(os.environ.get("IFCBNN_RESIZE_OVERRIDE", 0)) or hp["resize"]
+    img_norm = hp.get("img_norm")
+    mean, std = parse_imgnorm(img_norm) if img_norm else (None, None)
+
+    # labeled dataset: same scan/merge semantics as TRAIN, no split
+    print("Scanning dataset...")
+    if not getattr(args, "class_config", None):
+        nd = NeustonDataset(src=args.SRC,
+                            minimum_images_per_class=args.class_min,
+                            maximum_images_per_class=args.class_max)
+    else:
+        nd = NeustonDataset.from_csv(
+            src=args.SRC, csv_file=args.class_config[0],
+            column_to_run=args.class_config[1],
+            minimum_images_per_class=args.class_min,
+            maximum_images_per_class=args.class_max)
+    unknown = [c for c in nd.classes if c not in classes]
+    if unknown:
+        raise ValueError(
+            "VAL: {} class(es) under SRC are not in the checkpoint's class "
+            "list: {}. The model cannot score classes it was not trained "
+            "on — drop those folders or map them with --class-config "
+            "(checkpoint classes: {}).".format(
+                len(unknown), unknown[:10], classes[:10]))
+    if not nd.images:
+        raise ValueError("VAL: no images to evaluate under " + args.SRC)
+    remap = np.asarray([classes.index(c) for c in nd.classes], np.int32)
+    labels = remap[np.asarray(nd.targets, np.int32)]
+    counts = np.zeros(len(classes), np.int64)
+    np.add.at(counts, labels, 1)
+    print("Evaluating {} images across {} of the checkpoint's {} classes"
+          .format(len(nd.images), len(nd.classes), len(classes)))
+
+    with open(os.path.join(args.outdir, "validation_images.list"), "w") as f:
+        f.write("\n".join(sorted(nd.images)))
+
+    # model exactly as trained (see InferenceEngine: pretrained round-trips
+    # transform_input for torchvision-pretrained inceptions); unfolded BN
+    # so metrics match TRAIN's validation bit-for-bit given equal inputs
+    model = get_namebrand_model(hp["MODEL"], len(classes),
+                                pretrained=bool(hp.get("pretrained")),
+                                dtype=dtype)
+    raw_eval = make_eval_step(model)
+
+    class _EvalState:  # make_eval_step only reads .params / .batch_stats
+        pass
+    state = _EvalState()
+    state.params, state.batch_stats = params, batch_stats
+
+    def fused_eval(raw):
+        # deterministic eval: no flips (TRAIN applies val flips only under
+        # --flip ...+V, an augmentation-of-validation option that has no
+        # place in an acceptance measurement)
+        images = preprocess_batch(raw["canvas"], raw["sizes"], None,
+                                  out_size=resize, mean=mean, std=std,
+                                  dtype=jnp.float32)
+        return raw_eval(state, dict(images=images, labels=raw["labels"],
+                                    mask=raw["mask"]))
+
+    eval_step = jax.jit(fused_eval)
+
+    loader = HostLoader(list(nd.images), [int(x) for x in labels],
+                        batch_size=args.batch_size,
+                        num_workers=args.loaders, shuffle=False,
+                        n_real=len(nd.images))
+    losses, probs_l, ns, classes_l, srcs = [], [], [], [], []
+    for b in prefetch(iter(loader)):
+        loss, probs = eval_step(dict(canvas=b["canvas"], sizes=b["sizes"],
+                                     labels=np.asarray(b["labels"]),
+                                     mask=np.asarray(b["mask"])))
+        n = int(b["mask"].sum())
+        losses.append(loss)  # device scalars — fetched once below
+        probs_l.append(probs)
+        ns.append(n)
+        classes_l.append(b["labels"][:n])
+        srcs.extend(loader.items[i] for i in b["indices"][:n])
+    losses = jax.device_get(losses)
+    probs = np.concatenate([p[:n] for p, n in
+                            zip(jax.device_get(probs_l), ns)])
+    input_classes = np.concatenate(classes_l)
+    val_loss = float(np.sum(losses, dtype=np.float64))
+
+    results = None
+    for rf in (getattr(args, "result_files", None) or
+               [["val_results.json"]]):
+        fname, series = rf[0], rf[1:]
+        results = compute_validation_results(
+            series or DEFAULT_SERIES,
+            class_labels=classes,
+            input_classes=input_classes, output_scores=probs,
+            image_fullpaths=srcs, model_id=args.model_id,
+            timestamp=args.cmd_timestamp,
+            counts_perclass=[int(c) for c in counts],
+            val_counts_perclass=[int(c) for c in counts],
+            train_counts_perclass=[0] * len(classes),
+            training_image_fullpaths=[], training_classes=[])
+        outfile = os.path.join(args.outdir, fname).format(epoch="VAL")
+        os.makedirs(os.path.dirname(outfile) or ".", exist_ok=True)
+        save_validation_results(outfile, results)
+        print("Saved", outfile)
+
+    from sklearn.metrics import f1_score
+    f1_w = f1_score(input_classes, np.argmax(probs, 1), average="weighted",
+                    labels=list(range(len(classes))), zero_division=0)
+    f1_m = f1_score(input_classes, np.argmax(probs, 1), average="macro",
+                    labels=list(range(len(classes))), zero_division=0)
+    print("VAL: {} images, val_loss={:.3f}, val_f1_w={:.1%}, "
+          "val_f1_m={:.1%}".format(len(srcs), val_loss, f1_w, f1_m))
+
+    if getattr(args, "args_log", None):
+        from ..utils.config import dump_args_yml
+        dump_args_yml(args, os.path.join(args.outdir, args.args_log))
+    # (the CLI prints the reference's final "DONE!" after main() returns)
+    return dict(val_loss=val_loss, f1_weighted=float(f1_w),
+                f1_macro=float(f1_m), n_images=len(srcs))

@@ -55,6 +55,9 @@ def proc_outdir(args, model_id_for_run=None):
         args.outdir = args.outdir.format(RUN_DATE=run_date_str,
                                          RUN_ID=args.RUN_ID,
                                          MODEL_ID=model_id_for_run)
+    elif args.cmd_mode == 'VAL':
+        args.outdir = args.outdir.format(VAL_DATE=run_date_str,
+                                         VAL_ID=args.VAL_ID)
     return args
 
 

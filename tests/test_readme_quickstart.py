@@ -73,6 +73,13 @@ def test_quickstart_commands_run_verbatim(corpus, tmp_path):
     assert glob.glob(os.path.join(cwd, "run-output", "**",
                                   "img_results.json"), recursive=True)
 
+    # evaluate on a labeled dataset (VAL; training-data is merged by the
+    # same class-config the model was trained with)
+    _run(["ifcb_classifier_tpu", "--batch", "8", "VAL", "training-data",
+          ptl[0], "MyEval", "--class-config", "config.csv", "col1"], cwd)
+    assert glob.glob(os.path.join(cwd, "val-output", "**",
+                                  "val_results.json"), recursive=True)
+
     # utilities
     _run(["ifcb_classifier_tpu.util_cli", "CALC_IMG_NORM", "training-data"],
          cwd)

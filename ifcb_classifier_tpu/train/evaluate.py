@@ -50,6 +50,14 @@ def do_validation(args):
     from ..train.state import make_eval_step
     from ..utils.config import resolve_dtype
 
+    # single-file output contract (like RUN --type img): in a multi-host
+    # fleet only process 0 evaluates — N hosts would do N-fold duplicate
+    # inference and then race-write the same result files
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        print("VAL is single-file output: evaluated by process 0 only; "
+              "idle on this host")
+        return None
+
     args.model_id = args.VAL_ID
     os.makedirs(args.outdir, exist_ok=True)
     dtype = resolve_dtype(getattr(args, "precision", None))

@@ -136,6 +136,20 @@ class TestValBasics:
             do_validation(val_args(str(empty), ckpt,
                                    str(tmp_path / "val")))
 
+    def test_multihost_nonzero_rank_idles(self, trained_for_val, tmp_path,
+                                          monkeypatch):
+        """Single-file output contract (like RUN --type img): in a fleet
+        only process 0 evaluates — other ranks must idle, not race-write
+        the same result files with duplicate inference."""
+        import jax
+        src, _, ckpt = trained_for_val
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda: 2)
+        from ifcb_classifier_tpu.train.evaluate import do_validation
+        vout = str(tmp_path / "val")
+        assert do_validation(val_args(src, ckpt, vout)) is None
+        assert not os.path.exists(vout)  # nothing written on this rank
+
     def test_cli_parses_val(self):
         from ifcb_classifier_tpu.cli import argparse_nn
         a = argparse_nn().parse_args(

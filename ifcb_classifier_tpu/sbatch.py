@@ -66,11 +66,12 @@ def main(parser):
 
     args = parser.parse_args()
     if args.cmd_mode is None:
-        parser.error('missing sub-command: specify "TRAIN" or "RUN".')
+        parser.error('missing sub-command: specify "TRAIN", "RUN", '
+                     'or "VAL".')
 
     from .utils.config import add_runtime_params, proc_outdir
     add_runtime_params(args)
-    if args.cmd_mode == "TRAIN":
+    if args.cmd_mode in ("TRAIN", "VAL"):
         proc_outdir(args)
     elif args.cmd_mode == "RUN":
         # resolve {RUN_ID}/{MODEL_ID} here too (the reference does,
@@ -96,7 +97,7 @@ def main(parser):
         sbatch_dict["ENV_SETUP"] = "source activate {}".format(args.conda_env)
     os.makedirs(sbatch_dict["SLURM_LOG_DIR"], exist_ok=True)
 
-    # splice argv from the TRAIN|RUN token into the re-invoked command
+    # splice argv from the TRAIN|RUN|VAL token into the re-invoked command
     # (neuston_sbatch.py:72-78)
     idx = sys.argv.index(args.cmd_mode)
     nn_args = sys.argv[idx:]
@@ -151,7 +152,7 @@ def main(parser):
 def argparse_sbatch():
     parser = argparse.ArgumentParser(
         prog="ifcbnn-sbatch",
-        description="SLURM SBATCH auto-submitter for ifcbnn TRAIN/RUN")
+        description="SLURM SBATCH auto-submitter for ifcbnn TRAIN/RUN/VAL")
     slurm = parser.add_argument_group(title="SLURM Args")
     slurm.add_argument("--job-name", metavar="STR")
     slurm.add_argument("--email")

@@ -62,6 +62,17 @@ def do_validation(args):
     os.makedirs(args.outdir, exist_ok=True)
     dtype = resolve_dtype(getattr(args, "precision", None))
 
+    result_files = getattr(args, "result_files", None) or \
+        [["val_results.json"]]
+    for rf in result_files:  # TRAIN's fail-fast rule: a typo'd placeholder
+        if "{" in rf[0] or "}" in rf[0]:  # must not die AFTER inference
+            try:
+                rf[0].format(epoch="VAL")
+            except (KeyError, IndexError, ValueError):
+                raise ValueError(
+                    "--results {}: unknown FNAME placeholder; available: "
+                    "{{epoch}}".format(rf[0])) from None
+
     params, batch_stats, hp = load_checkpoint(args.MODEL)
     classes = [str(c) for c in hp["classes"]]
     resize = int(os.environ.get("IFCBNN_RESIZE_OVERRIDE", 0)) or hp["resize"]
@@ -147,8 +158,7 @@ def do_validation(args):
     val_loss = float(np.sum(losses, dtype=np.float64))
 
     results = None
-    for rf in (getattr(args, "result_files", None) or
-               [["val_results.json"]]):
+    for rf in result_files:
         fname, series = rf[0], rf[1:]
         results = compute_validation_results(
             series or DEFAULT_SERIES,

@@ -136,6 +136,25 @@ class TestValBasics:
             do_validation(val_args(str(empty), ckpt,
                                    str(tmp_path / "val")))
 
+    def test_results_placeholder_typo_fails_before_inference(
+            self, trained_for_val, tmp_path, monkeypatch):
+        """TRAIN's fail-fast rule applies to VAL too: a typo'd --results
+        placeholder dies at startup, not after the whole evaluation."""
+        src, _, ckpt = trained_for_val
+        import ifcb_classifier_tpu.data.datasets as ds_mod
+        scanned = {"n": 0}
+        orig = ds_mod.NeustonDataset.__init__
+        def counting(self, *a, **kw):
+            scanned["n"] += 1
+            return orig(self, *a, **kw)
+        monkeypatch.setattr(ds_mod.NeustonDataset, "__init__", counting)
+        from ifcb_classifier_tpu.train.evaluate import do_validation
+        with pytest.raises(ValueError, match="placeholder"):
+            do_validation(val_args(
+                src, ckpt, str(tmp_path / "val"),
+                result_files=[["res_{epch}.json"]]))
+        assert scanned["n"] == 0  # failed before the dataset scan
+
     def test_multihost_nonzero_rank_idles(self, trained_for_val, tmp_path,
                                           monkeypatch):
         """Single-file output contract (like RUN --type img): in a fleet

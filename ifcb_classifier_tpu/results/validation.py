@@ -115,6 +115,38 @@ def compute_validation_results(series, *, class_labels, input_classes,
     return results
 
 
+VALID_RESULT_EXTS = (".json", ".mat", ".h5")
+
+
+def validate_result_files(result_files, sample_epoch):
+    """Fail-fast validation of `--results FNAME SERIES...` patterns, shared
+    by TRAIN and VAL so the rule cannot drift. Catches both failure modes
+    BEFORE any compute: a typo'd `{placeholder}` (would crash at the first
+    write) and an unsupported extension (worse — `save_validation_results`
+    dispatches on extension and silently writes NOTHING).
+
+    sample_epoch is whatever the caller will pass at write time (TRAIN: an
+    int; VAL: the string "VAL" — so numeric format specs like
+    `{epoch:03d}` are correctly rejected for VAL and accepted for TRAIN).
+    """
+    for rf in result_files:
+        fname = rf[0]
+        if not fname.endswith(VALID_RESULT_EXTS):
+            raise ValueError(
+                "--results {}: unsupported extension (the writer dispatches "
+                "on it and would silently write nothing); use one of: {}"
+                .format(fname, " ".join(VALID_RESULT_EXTS)))
+        if "{" in fname or "}" in fname:  # lone '}' also crashes .format
+            try:
+                fname.format(epoch=sample_epoch)
+            except (KeyError, IndexError, ValueError):
+                raise ValueError(
+                    "--results {}: unknown FNAME placeholder or a format "
+                    "spec incompatible with this command's epoch value "
+                    "({!r}); available: {{epoch}}"
+                    .format(fname, sample_epoch)) from None
+
+
 def save_validation_results(outfile: str, results: dict):
     """Dispatch on extension (neuston_callbacks.py:113-116)."""
     if outfile.endswith('.json'):

@@ -193,27 +193,34 @@ def save_train_state(path: str, state, extra: dict):
     os.replace(tmp, path)
 
 
-def load_train_state(path: str, template_state):
-    """Returns (state, extra_dict); template_state supplies the pytree
-    structure (build it with create_train_state first)."""
+def restore_trainstate_payload(path: str) -> dict:
+    """Read + msgpack-restore a train-state file once. --resume peeks the
+    seed out of this payload BEFORE the model exists and then feeds the
+    SAME payload to load_train_state — a second full read/parse of a
+    ~300 MB params+moments blob per resume would double startup I/O."""
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     if payload.get("format") != FORMAT_TAG + "-trainstate":
         raise ValueError(f"{path}: not an ifcbnn train-state checkpoint")
+    return payload
+
+
+def load_train_state(path: str, template_state, payload=None):
+    """Returns (state, extra_dict); template_state supplies the pytree
+    structure (build it with create_train_state first). Pass a
+    pre-restored `payload` (restore_trainstate_payload) to skip
+    re-reading the file."""
+    if payload is None:
+        payload = restore_trainstate_payload(path)
     state = flax.serialization.from_state_dict(template_state, payload["state"])
     return state, json.loads(payload["extra_json"])
 
 
 def peek_train_state_extra(path: str) -> dict:
     """The extra/bookkeeping dict of a train-state checkpoint, without a
-    template state. Used by --resume BEFORE the model (or even the
-    dataset split) exists — notably to recover the run's seed, which the
-    split derives from."""
-    with open(path, "rb") as f:
-        payload = flax.serialization.msgpack_restore(f.read())
-    if payload.get("format") != FORMAT_TAG + "-trainstate":
-        raise ValueError(f"{path}: not an ifcbnn train-state checkpoint")
-    return json.loads(payload["extra_json"])
+    template state (full-file restore; inside do_training prefer
+    restore_trainstate_payload and reuse the payload)."""
+    return json.loads(restore_trainstate_payload(path)["extra_json"])
 
 
 def tree_float32(tree):

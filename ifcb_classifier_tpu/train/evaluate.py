@@ -64,14 +64,10 @@ def do_validation(args):
 
     result_files = getattr(args, "result_files", None) or \
         [["val_results.json"]]
-    for rf in result_files:  # TRAIN's fail-fast rule: a typo'd placeholder
-        if "{" in rf[0] or "}" in rf[0]:  # must not die AFTER inference
-            try:
-                rf[0].format(epoch="VAL")
-            except (KeyError, IndexError, ValueError):
-                raise ValueError(
-                    "--results {}: unknown FNAME placeholder; available: "
-                    "{{epoch}}".format(rf[0])) from None
+    # TRAIN's fail-fast rule (shared validator): a typo'd placeholder or
+    # extension must not die — or silently no-op — AFTER inference
+    from ..results.validation import validate_result_files
+    validate_result_files(result_files, sample_epoch="VAL")
 
     params, batch_stats, hp = load_checkpoint(args.MODEL)
     classes = [str(c) for c in hp["classes"]]

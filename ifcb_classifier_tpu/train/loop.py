@@ -126,14 +126,11 @@ def do_training(args):
     _resolve_dtype(getattr(args, "precision", None))  # int8 rejected HERE,
     if args.img_norm:                  # not minutes into a large tree walk
         parse_imgnorm(args.img_norm)
-    for rf in (getattr(args, "result_files", None) or []):
-        if "{" in rf[0] or "}" in rf[0]:  # lone '}' also crashes .format
-            try:  # same fail-fast rule as --plot: a typo'd placeholder
-                rf[0].format(epoch=0)  # must not crash at the first best
-            except (KeyError, IndexError, ValueError):  # epoch, hours in
-                raise ValueError(
-                    "--results {}: unknown FNAME placeholder; available: "
-                    "{{epoch}}".format(rf[0])) from None
+    from ..results.validation import validate_result_files
+    # same fail-fast rule as --plot: a typo'd placeholder/extension must
+    # not crash (or silently no-op) at the first best epoch, hours in
+    validate_result_files(getattr(args, "result_files", None) or [],
+                          sample_epoch=0)
 
     # multi-host: every rank runs the IDENTICAL command (sbatch renders one
     # srun line), so a shared --outdir would have N ranks racing the same
@@ -151,11 +148,38 @@ def do_training(args):
     # no-seed run draws a random one per invocation — without restoration,
     # resuming would silently regenerate a DIFFERENT split, leaking images
     # already trained on into the new validation set. A conflicting
-    # explicit --seed is rejected loudly for the same reason.
+    # explicit --seed is rejected loudly for the same reason. The restored
+    # payload is kept and fed to load_train_state below — a second full
+    # read/parse of the params+moments blob would double resume startup.
     _resume_state = os.path.join(args.outdir, "chkpts", "last.state")
-    if getattr(args, "resume", False) and os.path.isfile(_resume_state):
-        from .checkpoint import peek_train_state_extra
-        _saved_seed = peek_train_state_extra(_resume_state).get("seed")
+    _resume_payload = None
+    if getattr(args, "resume", False):
+        _saved_seed = None
+        if os.path.isfile(_resume_state):
+            import json as _json
+
+            from .checkpoint import restore_trainstate_payload
+            _resume_payload = restore_trainstate_payload(_resume_state)
+            _saved_seed = _json.loads(
+                _resume_payload["extra_json"]).get("seed")
+        if jax.process_count() > 1:
+            # SYMMETRIC decision: whether to restore must not depend on a
+            # rank's LOCAL rank{i}/ state — a replaced host missing its
+            # last.state would otherwise skip the no-seed broadcast inside
+            # seed_everything while the others take it (collective
+            # mismatch = startup hang). All ranks must agree they have a
+            # state (the per-rank copies are replicated by construction);
+            # a mixed fleet is a loud error, not a silent divergence.
+            from jax.experimental import multihost_utils
+            _have = multihost_utils.process_allgather(
+                np.int64(1 if _resume_payload is not None else 0))
+            if int(_have.min()) != int(_have.max()):
+                raise RuntimeError(
+                    "--resume: chkpts/last.state exists on some ranks but "
+                    "not others (ranks' have-flags: {}). Per-rank states "
+                    "are replicated copies — restore the missing "
+                    "rank{{i}}/chkpts/last.state or start fresh without "
+                    "--resume.".format(_have.tolist()))
         if _saved_seed is not None:
             if args.seed and int(args.seed) != int(_saved_seed):
                 raise ValueError(
@@ -164,7 +188,7 @@ def do_training(args):
                     "would regenerate a different train/val split "
                     "mid-run. Drop --seed or pass the matching one.")
             args.seed = int(_saved_seed)
-        elif not args.seed:
+        elif not args.seed and _resume_payload is not None:
             print("WARNING: resuming a pre-seed-recording run without "
                   "--seed: a fresh random seed will re-draw the train/val "
                   "split — pass the original run's seed (args.yml) to "
@@ -381,8 +405,10 @@ def do_training(args):
     # mid-training resume (beyond-reference capability, SURVEY.md §5.4):
     # chkpts/last.state carries params+opt moments+loop bookkeeping
     last_state_path = os.path.join(chkpt_dir, "last.state")
-    if getattr(args, "resume", False) and os.path.isfile(last_state_path):
-        state, extra = load_train_state(last_state_path, state)
+    if _resume_payload is not None:
+        state, extra = load_train_state(last_state_path, state,
+                                        payload=_resume_payload)
+        _resume_payload = None  # free the host copy (params + moments)
         start_epoch = extra["epoch"] + 1
         best_val_loss = extra["best_val_loss"]
         best_epoch = extra["best_epoch"]

@@ -163,6 +163,59 @@ class TestStartupValidation:
         with pytest.raises(ValueError, match="placeholder"):
             do_training(a)  # raises BEFORE touching the dataset dir
 
+    def test_results_bad_extension_fails_before_scan(self, tmp_path):
+        """An unsupported --results extension is WORSE than a typo'd
+        placeholder: save_validation_results dispatches on extension and
+        silently writes nothing — caught at startup instead."""
+        import pytest
+
+        from ifcb_classifier_tpu.train.loop import do_training
+        a = make_args(str(tmp_path / "nonexistent"), str(tmp_path / "o"))
+        a.result_files = [["results.jon", "output_scores"]]  # typo'd .json
+        with pytest.raises(ValueError, match="extension"):
+            do_training(a)
+
+    def test_results_numeric_epoch_format_spec_allowed_for_train(self):
+        """TRAIN writes integer epochs, so {epoch:03d} is valid there (VAL
+        rejects it — its epoch renders as the string 'VAL')."""
+        import pytest
+
+        from ifcb_classifier_tpu.results.validation import (
+            validate_result_files)
+        validate_result_files([["res_{epoch:03d}.mat"]], sample_epoch=0)
+        with pytest.raises(ValueError, match="format "):
+            validate_result_files([["res_{epoch:03d}.mat"]],
+                                  sample_epoch="VAL")
+
+    def test_mixed_rank_resume_state_is_a_loud_error(self, tmp_path,
+                                                     monkeypatch):
+        """Multi-host --resume: whether to restore must be decided
+        SYMMETRICALLY — a rank missing its local last.state (replaced
+        host) used to skip the no-seed broadcast inside seed_everything
+        while the others took it (collective mismatch = startup hang).
+        A mixed fleet now dies with a clear message instead."""
+        import jax
+        import pytest
+        from jax.experimental import multihost_utils
+
+        from ifcb_classifier_tpu.train.loop import do_training
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            lambda x: np.asarray([1, 0]))
+        a = make_args(str(tmp_path / "nonexistent"), str(tmp_path / "o"),
+                      resume=True)
+        os.makedirs(tmp_path / "o" / "chkpts")
+        # a real (tiny) last.state so THIS rank's peek succeeds
+        from ifcb_classifier_tpu.train.checkpoint import save_train_state
+        class _S:  # minimal pytree-serializable state
+            pass
+        import flax
+        save_train_state(str(tmp_path / "o" / "chkpts" / "last.state"),
+                         {"w": np.zeros(2)}, dict(epoch=0, seed=7))
+        with pytest.raises(RuntimeError, match="some ranks"):
+            do_training(a)
+
 
 class TestEpochCSVDynamicColumns:
     """epochs.csv column parity (VERDICT r2 weak#6): like the reference's

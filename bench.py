@@ -29,6 +29,11 @@ embeds `infer_bf16_imgs_per_sec` / `infer_int8_imgs_per_sec`, the anchor
 provenance, per-era ratios, and the live HBM-roofline per-chip ceiling in
 the same JSON line, so the driver artifact alone settles the perf verdict.
 BENCH_LEDGER=0 skips the infer tiers for quick train-only iteration.
+
+WALL BUDGET: BENCH_WALL_BUDGET_S (default 1200; <=0 disables) bounds the
+measurement phase on slow-tunnel days — trial loops truncate (marked
+`budget_truncated`, >= 1 counted trial) and unstarted ledger tiers are
+skipped with an error marker, so the driver always gets a JSON line.
 """
 
 import json
@@ -38,6 +43,24 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# WALL BUDGET: on a slow-tunnel day each 50-iter trial can take 95-207+ s
+# wall (vs ~3 s device), so a full ledger run can exceed the driver's outer
+# timeout and record NOTHING. Once the budget is spent, trial loops stop
+# after the next completed trial (keeping >= 1 counted trial past the
+# warmups, marked `budget_truncated`) and later ledger tiers are skipped
+# with an explicit marker — a degraded artifact instead of a void one.
+# BENCH_WALL_BUDGET_S overrides; <= 0 disables. Generous default: a
+# good-tunnel full ledger finishes in ~2-5 min, far under it.
+_BENCH_T0 = time.monotonic()
+
+
+def _budget_left():
+    budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1200"))
+    if budget <= 0:
+        return float("inf")
+    return budget - (time.monotonic() - _BENCH_T0)
 
 
 def _vs_baseline(value: float, *keys):
@@ -270,6 +293,10 @@ def bench_infer(precision=None, n_trials=None):
         dt = time.perf_counter() - t0
         trials.append(done / dt)
         call_rates.append(len(dev_chunks) / dt)
+        if _budget_left() <= 0 and len(trials) >= n_warm + 1:
+            print(f"bench_infer: wall budget exhausted after "
+                  f"{len(trials)} trials", file=sys.stderr)
+            break
     # leading trials over the axon tunnel are reliably cold outliers
     # (VERDICT r3 weak #2): report them, exclude them from the statistics
     warmup, trials = trials[:n_warm], trials[n_warm:]
@@ -292,6 +319,9 @@ def bench_infer(precision=None, n_trials=None):
             ips, "ref_gpu_estimate_infer_imgs_per_sec",
             "infer_imgs_per_sec") if model_name == "inception_v3"
             else None)}
+    if len(trials) < n_trials:
+        payload["budget_truncated"] = True
+        payload["trials_requested"] = n_trials
     if batch_flops:
         payload["flops_per_img"] = round(batch_flops / B / 1e9, 2)  # GF
         # MFU from actual compiled CALLS, not real-ROI count: the final
@@ -359,6 +389,10 @@ def bench_train():
         _ = float(jnp.sum(jnp.abs(leaf).astype(jnp.float32)))
         dt = time.perf_counter() - t0
         trials.append(BATCH * iters / dt)
+        if _budget_left() <= 0 and len(trials) >= n_warm + 1:
+            print(f"bench_train: wall budget exhausted after "
+                  f"{len(trials)} trials", file=sys.stderr)
+            break
 
     # leading trials over the axon tunnel are reliably cold outliers
     # (VERDICT r3 weak #2): report them, exclude them from the statistics
@@ -379,6 +413,9 @@ def bench_train():
         "spread_pct": spread_pct,
         "iqr_pct": _iqr_pct(trials, imgs_per_sec),
     }
+    if len(trials) < n_trials:
+        payload["budget_truncated"] = True
+        payload["trials_requested"] = n_trials
     if step_flops:
         payload["xla_flops_per_step"] = step_flops
         payload["flops_per_img"] = round(step_flops / BATCH / 1e9, 2)  # GF
@@ -420,6 +457,12 @@ def _ledger(payload):
     import traceback
 
     def tier(precision):
+        if _budget_left() <= 0:
+            print(f"ledger: skipping {precision} tier (wall budget spent)",
+                  file=sys.stderr)
+            return {"value": None,
+                    "error": "skipped: BENCH_WALL_BUDGET_S exhausted "
+                             "before this tier (slow tunnel)"}
         try:
             return bench_infer(
                 precision=precision,

@@ -149,6 +149,53 @@ class TestBenchLedgerFailSoft:
         assert "90.7% of the HBM roofline ceiling" in out["perf_verdict"]
 
 
+class TestBenchWallBudget:
+    """A slow-but-alive tunnel (init fast, each trial 95-207+ s wall) must
+    degrade the artifact — fewer trials, skipped tiers — never void it by
+    outliving the driver's outer timeout (learned the hard way: a 15-min
+    `timeout 900 python bench.py` produced NOTHING)."""
+
+    def test_exhausted_budget_skips_ledger_tiers(self, monkeypatch):
+        sys.path.insert(0, REPO)
+        import bench
+        # _BENCH_T0 is import-time, so any positive elapsed beats this
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0.0001")
+        monkeypatch.setattr(
+            bench, "bench_infer",
+            lambda **k: (_ for _ in ()).throw(
+                AssertionError("tier ran despite exhausted budget")))
+        out = bench._ledger({"value": 2000.0})
+        assert out["infer_bf16_imgs_per_sec"] is None
+        assert "BENCH_WALL_BUDGET_S exhausted" in out["infer_bf16_error"]
+        assert out["infer_int8_imgs_per_sec"] is None
+        import json as _json
+        _json.dumps(out)
+
+    def test_disabled_budget_never_truncates(self, monkeypatch):
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0")  # <= 0 disables
+        assert bench._budget_left() == float("inf")
+
+    def test_train_trials_truncate_with_marker(self, monkeypatch):
+        """Real (tiny, CPU) bench_train under an exhausted budget: the loop
+        must stop after ONE counted trial and mark the payload."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0.0001")
+        monkeypatch.setenv("BENCH_WARMUP_TRIALS", "0")
+        monkeypatch.setenv("BENCH_TRIALS", "5")
+        monkeypatch.setenv("BENCH_ITERS", "1")
+        monkeypatch.setenv("BENCH_BATCH", "2")
+        monkeypatch.setenv("BENCH_MODEL", "resnet18")
+        monkeypatch.setenv("BENCH_SIZE", "64")
+        out = bench.bench_train()
+        assert out["budget_truncated"] is True
+        assert out["trials_requested"] == 5
+        assert len(out["trials"]) == 1
+        assert out["value"] and out["value"] > 0
+
+
 class TestBenchBackendWatchdog:
     def test_hung_backend_yields_failsoft_artifact_line(self):
         """A downed axon tunnel blocks the first jax.devices() ~40 min; the

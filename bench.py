@@ -49,15 +49,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # wall (vs ~3 s device), so a full ledger run can exceed the driver's outer
 # timeout and record NOTHING. Once the budget is spent, trial loops stop
 # after the next completed trial (keeping >= 1 counted trial past the
-# warmups, marked `budget_truncated`) and later ledger tiers are skipped
+# warmups, marked `budget_truncated`; a loop ENTERED with the budget
+# already spent skips its designated warmups and runs exactly one counted
+# trial — the pre-fix behavior overshot by up to n_warm+1 full trials,
+# ~10 min at worst-case trial wall) and later ledger tiers are skipped
 # with an explicit marker — a degraded artifact instead of a void one.
 # BENCH_WALL_BUDGET_S overrides; <= 0 disables. Generous default: a
 # good-tunnel full ledger finishes in ~2-5 min, far under it.
+#
+# The anchor is re-set by main() once the backend watchdog confirms
+# devices: the budget bounds the MEASUREMENT phase, so time spent waiting
+# on a busy-but-recovering tunnel claim (up to the watchdog's 2700 s)
+# must not eat it — with an import-time-only anchor, a claim that
+# resolved after ~20 min exhausted the budget before any trial ran.
 _BENCH_T0 = time.monotonic()
 
 
+def _budget_seconds():
+    raw = os.environ.get("BENCH_WALL_BUDGET_S", "1200")
+    try:
+        return float(raw)
+    except ValueError:
+        # a malformed knob (e.g. "20m") must degrade to the default, not
+        # raise mid-trial-loop and void the artifact this fail-soft knob
+        # exists to protect
+        print(f"bench: malformed BENCH_WALL_BUDGET_S={raw!r}; "
+              f"using default 1200", file=sys.stderr)
+        return 1200.0
+
+
 def _budget_left():
-    budget = float(os.environ.get("BENCH_WALL_BUDGET_S", "1200"))
+    budget = _budget_seconds()
     if budget <= 0:
         return float("inf")
     return budget - (time.monotonic() - _BENCH_T0)
@@ -281,6 +303,12 @@ def bench_infer(precision=None, n_trials=None):
 
     n_trials = n_trials or int(os.environ.get("BENCH_TRIALS", "5"))
     n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
+    if _budget_left() <= 0:
+        # budget already spent before this loop: skip the designated
+        # warmups and run exactly one counted trial (the break below only
+        # fires past n_warm+1 trials — entering warm would overshoot the
+        # budget by several full 95-207 s trials)
+        n_warm = 0
     trials, call_rates = [], []
     for _t in range(n_trials + n_warm):  # leading designated warmups
         acc = jnp.zeros((), jnp.float32)
@@ -311,7 +339,10 @@ def bench_infer(precision=None, n_trials=None):
         "precision": "int8" if quant else "bf16",
         "warmup_trials": [round(w, 1) for w in warmup],
         "trials": [round(t, 1) for t in trials],
-        "spread_pct": round(100.0 * (max(trials) - min(trials)) / ips, 2),
+        # a 1-trial spread of 0.0 reads as "perfectly stable" — null it
+        # (like iqr_pct) and lean on budget_truncated for context
+        "spread_pct": (round(100.0 * (max(trials) - min(trials)) / ips, 2)
+                       if len(trials) >= 2 else None),
         "iqr_pct": _iqr_pct(trials, ips),
         # the reference anchor is inception_v3 — a cross-model ratio would
         # be meaningless, so alternate BENCH_MODELs report null
@@ -377,6 +408,10 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
     n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
+    if _budget_left() <= 0:
+        # budget already spent: skip designated warmups, one counted trial
+        # (see bench_infer — same overshoot hazard)
+        n_warm = 0
     trials = []
     for _t in range(n_trials + n_warm):  # leading designated warmups
         t0 = time.perf_counter()
@@ -398,7 +433,9 @@ def bench_train():
     # (VERDICT r3 weak #2): report them, exclude them from the statistics
     warmup, trials = trials[:n_warm], trials[n_warm:]
     imgs_per_sec = statistics.median(trials)
-    spread_pct = round(100.0 * (max(trials) - min(trials)) / imgs_per_sec, 2)
+    # null (not 0.0) with a single counted trial — see bench_infer
+    spread_pct = (round(100.0 * (max(trials) - min(trials)) / imgs_per_sec, 2)
+                  if len(trials) >= 2 else None)
     vs_baseline = _vs_baseline(imgs_per_sec, "ref_gpu_estimate_imgs_per_sec",
                                "imgs_per_sec")
     payload = {
@@ -471,8 +508,10 @@ def _ledger(payload):
             traceback.print_exc(file=sys.stderr)
             return {"value": None, "error": f"{type(e).__name__}: {e}"}
 
-    bf16 = tier("bf16")
+    # int8 FIRST: it is the deployment tier, so under a starved wall
+    # budget it must be the one that survives (VERDICT r4 #6)
     int8 = tier("int8")
+    bf16 = tier("bf16")
     train_ips = payload["value"]
     out = {
         "infer_bf16_imgs_per_sec": bf16["value"],
@@ -508,10 +547,26 @@ def _ledger(payload):
                  if pct is not None else
                  "roofline ceiling unavailable this run")
     r8 = out.get("infer_int8_vs_v100")
-    parts.append("infer int8-resident (deployment tier) {}".format(
-        "{}x V100".format(r8) if r8 is not None else "FAILED this run"))
-    out["perf_verdict"] = ("; ".join(parts)
-                           + " — BASELINE.md 'Perf ledger' adjudicates.")
+    if r8 is not None:
+        int8_word = "{}x V100".format(r8)
+    elif str(int8.get("error", "")).startswith("skipped:"):
+        # a deliberate time-budget skip is not a failure — conflating them
+        # on the one-line adjudication surface misreads a slow-tunnel day
+        # as a regression (ADVICE r4)
+        int8_word = "skipped (wall budget)"
+    else:
+        int8_word = "FAILED this run"
+    parts.append("infer int8-resident (deployment tier) " + int8_word)
+    verdict = "; ".join(parts) + " — BASELINE.md 'Perf ledger' adjudicates."
+    # cross-round artifact comparison must never silently mix full and
+    # truncated ledgers: flag the verdict string itself (VERDICT r4 #6)
+    degraded = (payload.get("budget_truncated")
+                or any(str(t.get("error", "")).startswith("skipped:")
+                       or t.get("budget_truncated")
+                       for t in (bf16, int8)))
+    if degraded:
+        verdict = "DEGRADED (wall budget): " + verdict
+    out["perf_verdict"] = verdict
     return out
 
 
@@ -601,6 +656,12 @@ def _backend_watchdog():
 
 def main():
     _backend_watchdog()
+    # devices are confirmed live — re-anchor the wall budget so it bounds
+    # the measurement phase only, not the (up to 2700 s) claim wait the
+    # watchdog just sat through (ADVICE r4: with an import-time anchor, a
+    # busy-but-recovering claim exhausted the budget before any trial)
+    global _BENCH_T0
+    _BENCH_T0 = time.monotonic()
     if os.environ.get("BENCH_MODE") == "infer":
         print(json.dumps(bench_infer()))
         return

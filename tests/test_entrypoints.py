@@ -194,6 +194,89 @@ class TestBenchWallBudget:
         assert out["trials_requested"] == 5
         assert len(out["trials"]) == 1
         assert out["value"] and out["value"] > 0
+        # a single counted trial has no meaningful spread — must be null,
+        # not a 0.0 that reads as "perfectly stable" (ADVICE r4)
+        assert out["spread_pct"] is None
+
+    def test_exhausted_budget_skips_designated_warmups(self, monkeypatch):
+        """A loop ENTERED with the budget spent must run exactly ONE
+        counted trial — the pre-fix break condition (len >= n_warm+1)
+        still burned the warmups, overshooting by up to ~10 min of
+        worst-case tunnel-slow trials (ADVICE r4)."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0.0001")
+        monkeypatch.setenv("BENCH_WARMUP_TRIALS", "2")  # would be 3 trials
+        monkeypatch.setenv("BENCH_TRIALS", "5")
+        monkeypatch.setenv("BENCH_ITERS", "1")
+        monkeypatch.setenv("BENCH_BATCH", "2")
+        monkeypatch.setenv("BENCH_MODEL", "resnet18")
+        monkeypatch.setenv("BENCH_SIZE", "64")
+        out = bench.bench_train()
+        assert out["warmup_trials"] == []
+        assert len(out["trials"]) == 1
+        assert out["budget_truncated"] is True
+
+    def test_malformed_budget_falls_back_to_default(self, monkeypatch,
+                                                    capsys):
+        """BENCH_WALL_BUDGET_S='20m' must degrade to the 1200 default with
+        a warning — raising mid-trial-loop voids the very artifact this
+        fail-soft knob protects (ADVICE r4)."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "20m")
+        assert bench._budget_seconds() == 1200.0
+        assert "malformed BENCH_WALL_BUDGET_S" in capsys.readouterr().err
+        left = bench._budget_left()  # must not raise
+        assert left <= 1200.0
+
+    def test_verdict_marks_degraded_and_skipped_tiers(self, monkeypatch):
+        """VERDICT r4 #6: a budget-starved run must (a) say 'skipped (wall
+        budget)', never FAILED, for a deliberately skipped tier, and (b)
+        prefix the whole verdict with DEGRADED so cross-round artifact
+        comparison can't silently mix full and truncated ledgers."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0.0001")
+        monkeypatch.setattr(
+            bench, "bench_infer",
+            lambda **k: (_ for _ in ()).throw(
+                AssertionError("tier ran despite exhausted budget")))
+        out = bench._ledger({"value": 2000.0})
+        assert "skipped (wall budget)" in out["perf_verdict"]
+        assert "FAILED" not in out["perf_verdict"]
+        assert out["perf_verdict"].startswith("DEGRADED (wall budget): ")
+
+    def test_verdict_degraded_on_truncated_train(self, monkeypatch):
+        """budget_truncated on the train payload alone also flags the
+        verdict, even when both infer tiers completed."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0")  # tiers run fine
+        monkeypatch.setattr(
+            bench, "bench_infer",
+            lambda precision=None, n_trials=None: {"value": 9900.0,
+                                                   "mfu_pct": 27.0})
+        out = bench._ledger({"value": 2000.0, "budget_truncated": True})
+        assert out["perf_verdict"].startswith("DEGRADED (wall budget): ")
+        out = bench._ledger({"value": 2000.0})
+        assert not out["perf_verdict"].startswith("DEGRADED")
+
+    def test_ledger_runs_int8_tier_first(self, monkeypatch):
+        """The deployment tier must be measured before bf16 so it is the
+        one that survives a mid-ledger budget exhaustion (VERDICT r4 #6)."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0")
+        order = []
+
+        def spy(precision=None, n_trials=None):
+            order.append(precision)
+            return {"value": 1.0}
+
+        monkeypatch.setattr(bench, "bench_infer", spy)
+        bench._ledger({"value": 2000.0})
+        assert order == ["int8", "bf16"]
 
 
 class TestBenchBackendWatchdog:

@@ -19,6 +19,11 @@ from .utils.config import add_runtime_params, enable_compile_cache, proc_outdir
 
 
 def main(args, engine=None):
+    # loud, verb-tagged notice for any active result-altering env knob
+    # (VERDICT r4 weak #3: a leaked IFCBNN_RESIZE_OVERRIDE silently
+    # evaluated VAL at the wrong resolution)
+    from .utils.envknobs import warn_active_knobs
+    warn_active_knobs(args.cmd_mode)
     if args.cmd_mode == "TRAIN":
         from .train.loop import do_training
         do_training(args)

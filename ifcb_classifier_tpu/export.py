@@ -515,6 +515,11 @@ def main_cli(argv=None):
     run.add_argument("--batch", dest="batch_size", default=108, type=int)
 
     args = parser.parse_args(argv)
+    if args.cmd_mode:
+        # loud notice for result-altering env knobs (IFCBNN_NO_FOLD
+        # changes the exported graph) — see utils/envknobs.py
+        from .utils.envknobs import warn_active_knobs
+        warn_active_knobs(args.cmd_mode)
     if args.cmd_mode == "EXPORT":
         if args.format == "onnx":
             if args.precision == "int8":

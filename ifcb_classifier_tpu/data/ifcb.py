@@ -143,13 +143,15 @@ def parse_adc(adc_path: str, schema_version: int):
         usecols = sorted(idx.values())
         df = pd.read_csv(adc_path, header=None, usecols=usecols,
                          skip_blank_lines=True, dtype=np.float64)
-        if df.isna().to_numpy().any():
-            # an EMPTY field parses as NaN and astype(int64) would turn it
-            # into INT64_MIN silently — for roiWidth that silently DROPS the
-            # ROI (indistinguishable from a normal zero-width trigger row).
-            # Raise into the tolerant loop below, which fails loudly on the
-            # empty field so RUN's per-bin isolation reports the bin.
-            raise ValueError("NaN field in adc")
+        if not np.isfinite(df.to_numpy()).all():
+            # an EMPTY field parses as NaN — and an 'inf' literal parses as
+            # a FINITE-looking float that isna() misses — and astype(int64)
+            # would turn either into INT64_MIN silently: for roiWidth that
+            # silently DROPS the ROI (indistinguishable from a normal
+            # zero-width trigger row). Raise into the tolerant loop below,
+            # which fails loudly on the bad field so RUN's per-bin
+            # isolation reports the bin.
+            raise ValueError("non-finite field in adc")
         return {name: df[idx[name]].to_numpy().astype(np.int64)
                 for name in want}
     except Exception:

@@ -442,7 +442,8 @@ def run_exported(model_path: str, src: str, classfile: str | None = None,
             raise ValueError(
                 "{} is an ONNX artifact; serving it in-framework needs "
                 "`onnxruntime` (not installed here) — pip install "
-                "onnxruntime, or RUN the StableHLO artifact "
+                "onnxruntime (then see docs/DEPLOYMENT.md 'First-box ONNX "
+                "validation checklist'), or RUN the StableHLO artifact "
                 "(`ifcbnn-export EXPORT` default format)".format(model_path))
         return _run_onnx(model_path, src, classfile, batch_size)
     import jax.numpy as jnp

@@ -119,6 +119,23 @@ def main():
             gobig=(mode == "run_gobig"),
             cmd_timestamp="2026-08-16T00:00:00+00:00", version="test")
         do_run(args)
+    elif mode == "watch":
+        # RUN --watch --summary under real multiple processes (VERDICT r4
+        # next #1): pid-hash bin sharding + per-rank summary/sidecar.
+        # ARGS = SRC CKPT OUTDIR PASSES [INTERVAL]
+        import argparse
+        src, ckpt, outdir = sys.argv[5], sys.argv[6], sys.argv[7]
+        passes = int(sys.argv[8])
+        interval = float(sys.argv[9]) if len(sys.argv) > 9 else 0.3
+        from ifcb_classifier_tpu.infer.runner import do_run
+        args = argparse.Namespace(
+            cmd_mode="RUN", SRC=src, MODEL=ckpt, RUN_ID="mpwatch",
+            src_type="bin", outdir=outdir, outfile=None, filter=None,
+            clobber=False, batch_size=8, loaders=2, gobig=False,
+            watch=interval, watch_settle=0.0, watch_passes=passes,
+            summary="summary.json",
+            cmd_timestamp="2026-08-16T00:00:00+00:00", version="test")
+        do_run(args)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(f"RANK {rank} OK", flush=True)

@@ -344,6 +344,17 @@ def argparse_nn_run(run):
                           "are served at full precision, then the engine "
                           "swaps to int8). Use when the first bin may not "
                           "be representative. Default 1.")
+    run.add_argument("--calib", metavar="DIR", default=None,
+                     help="With --precision int8: PIN activation scales to "
+                          "a fixed calibration sample (a directory of bins "
+                          "or images — the same loader EXPORT --calib "
+                          "uses) instead of the first-arriving batch, so "
+                          "two services over different data score "
+                          "identically. Mutually exclusive with "
+                          "--calib-batches.")
+    run.add_argument("--calib-count", metavar="N", default=128, type=int,
+                     help="With --calib: max ROIs/images in the pinned "
+                          "calibration batch (default 128, EXPORT parity).")
     run.add_argument("--no-batch-ladder", dest="batch_ladder",
                      action="store_false", default=None,
                      help="Disable the batch-bucket ladder: every dispatch "

@@ -174,6 +174,95 @@ class TestEngineQuant:
              "--calib-batches", "3"])
         assert args.calib_batches == 3
 
+
+class TestPinnedCalibration:
+    """RUN --precision int8 --calib DIR (VERDICT r4 next #3): activation
+    scales frozen to a fixed sample at engine build — deployment scores no
+    longer depend on whichever bin arrives first."""
+
+    @pytest.fixture()
+    def ckpt(self, tmp_path):
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        model = get_namebrand_model("resnet18", 2)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(3),
+                                              32)
+        p = str(tmp_path / "m.ptl")
+        save_checkpoint(p, params, stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="m", seed=1, img_norm=None))
+        return p
+
+    @pytest.fixture()
+    def calib_dir(self, tmp_path):
+        d = tmp_path / "calib"
+        write_bin(str(d), "D20250101T000000_IFCB900",
+                  [make_roi(20, 24, seed=9), make_roi(16, 16, seed=10)], 2)
+        return str(d)
+
+    def test_ready_before_first_dispatch(self, ckpt, calib_dir):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        eng = InferenceEngine(ckpt, batch_size=4, quant=True,
+                              calib_src=calib_dir)
+        assert eng._quant_ready and eng._calib_absmax
+        assert eng.calib_src == calib_dir
+
+    def test_arrival_order_invariant(self, ckpt, calib_dir):
+        """Two pinned services fed DIFFERENT first batches score a shared
+        workload identically; two lazily-calibrated services do not — the
+        exact cross-service drift the flag exists to remove."""
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        rng = np.random.RandomState(0)
+        dim = [rng.randint(0, 40, (20, 20), np.uint8) for _ in range(4)]
+        bright = [rng.randint(200, 255, (20, 20), np.uint8)
+                  for _ in range(4)]
+        shared = [rng.randint(0, 255, (18 + i, 22 - i), np.uint8)
+                  for i in range(4)]
+
+        def service(first, calib_src=None):
+            eng = InferenceEngine(ckpt, batch_size=4, quant=True,
+                                  calib_src=calib_src)
+            eng.predict_images(first)  # service A saw dim first, B bright
+            return eng.predict_images(shared)
+
+        # lazy first-arrival calibration: the two services disagree
+        lazy_a = service(dim)
+        lazy_b = service(bright)
+        assert np.abs(lazy_a - lazy_b).max() > 0
+        # pinned to the same DIR: byte-identical scores
+        pin_a = service(dim, calib_src=calib_dir)
+        pin_b = service(bright, calib_src=calib_dir)
+        np.testing.assert_array_equal(pin_a, pin_b)
+
+    def test_calib_without_int8_is_refused(self, ckpt, calib_dir):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        with pytest.raises(ValueError, match="only meaningful with"):
+            InferenceEngine(ckpt, batch_size=4, calib_src=calib_dir)
+
+    def test_calib_with_calib_batches_is_refused(self, ckpt, calib_dir):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        with pytest.raises(ValueError, match="pick one"):
+            InferenceEngine(ckpt, batch_size=4, quant=True,
+                            calib_src=calib_dir, calib_batches=2)
+
+    def test_empty_calib_dir_fails_loudly(self, ckpt, tmp_path):
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        empty = tmp_path / "nope"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no bins or images"):
+            InferenceEngine(ckpt, batch_size=4, quant=True,
+                            calib_src=str(empty))
+
+    def test_cli_surface_and_from_args(self, ckpt, calib_dir):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        args = argparse_nn().parse_args(
+            ["--batch", "4", "--precision", "int8", "RUN", "src", ckpt,
+             "rid", "--calib", calib_dir, "--calib-count", "16"])
+        assert args.calib == calib_dir and args.calib_count == 16
+        eng = InferenceEngine.from_args(args)
+        assert eng._quant_ready  # pinned at build through the CLI path
+
     def test_unsupported_family_fails_loudly(self, tmp_path):
         from ifcb_classifier_tpu.models import get_namebrand_model
         from ifcb_classifier_tpu.infer.runner import InferenceEngine

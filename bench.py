@@ -65,6 +65,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _BENCH_T0 = time.monotonic()
 
 
+_warned_budget = set()  # warn once per malformed value, not per trial
+
+
 def _budget_seconds():
     raw = os.environ.get("BENCH_WALL_BUDGET_S", "1200")
     try:
@@ -73,8 +76,10 @@ def _budget_seconds():
         # a malformed knob (e.g. "20m") must degrade to the default, not
         # raise mid-trial-loop and void the artifact this fail-soft knob
         # exists to protect
-        print(f"bench: malformed BENCH_WALL_BUDGET_S={raw!r}; "
-              f"using default 1200", file=sys.stderr)
+        if raw not in _warned_budget:
+            _warned_budget.add(raw)
+            print(f"bench: malformed BENCH_WALL_BUDGET_S={raw!r}; "
+                  f"using default 1200", file=sys.stderr)
         return 1200.0
 
 
@@ -303,7 +308,8 @@ def bench_infer(precision=None, n_trials=None):
 
     n_trials = n_trials or int(os.environ.get("BENCH_TRIALS", "5"))
     n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
-    if _budget_left() <= 0:
+    entered_exhausted = _budget_left() <= 0
+    if entered_exhausted:
         # budget already spent before this loop: skip the designated
         # warmups and run exactly one counted trial (the break below only
         # fires past n_warm+1 trials — entering warm would overshoot the
@@ -350,7 +356,10 @@ def bench_infer(precision=None, n_trials=None):
             ips, "ref_gpu_estimate_infer_imgs_per_sec",
             "infer_imgs_per_sec") if model_name == "inception_v3"
             else None)}
-    if len(trials) < n_trials:
+    if len(trials) < n_trials or entered_exhausted:
+        # entered_exhausted matters even when len(trials) == n_trials
+        # (n_trials=1): a warmup-skipped single trial is a cold outlier
+        # and must never read as a clean full run
         payload["budget_truncated"] = True
         payload["trials_requested"] = n_trials
     if batch_flops:
@@ -408,7 +417,8 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", "50"))
     n_trials = int(os.environ.get("BENCH_TRIALS", "5"))
     n_warm = int(os.environ.get("BENCH_WARMUP_TRIALS", "2"))
-    if _budget_left() <= 0:
+    entered_exhausted = _budget_left() <= 0
+    if entered_exhausted:
         # budget already spent: skip designated warmups, one counted trial
         # (see bench_infer — same overshoot hazard)
         n_warm = 0
@@ -450,7 +460,9 @@ def bench_train():
         "spread_pct": spread_pct,
         "iqr_pct": _iqr_pct(trials, imgs_per_sec),
     }
-    if len(trials) < n_trials:
+    if len(trials) < n_trials or entered_exhausted:
+        # see bench_infer: a warmup-skipped run is truncated even at the
+        # full trial count
         payload["budget_truncated"] = True
         payload["trials_requested"] = n_trials
     if step_flops:

@@ -191,8 +191,7 @@ class InferenceEngine:
         artifact score identically. The engine is int8-ready before the
         first dispatch; every score it ever returns uses these scales."""
         from ..export import _load_calib_batch
-        from ..models.quant import (make_calib_fn, make_quant_predict,
-                                    quantize_params)
+        from ..models.quant import make_calib_fn
         mean, std = self._mean_std
         x = _load_calib_batch(calib_src, self.resize, mean, std,
                               int(calib_count))
@@ -200,12 +199,20 @@ class InferenceEngine:
         absmax = {k: float(v) for k, v in jax.device_get(
             jax.jit(calib_fn)(self.params, self.batch_stats,
                               jnp.asarray(x))).items()}
+        self._calib_absmax = absmax
+        self._swap_to_quant(absmax, geoms)
+
+    def _swap_to_quant(self, absmax, geoms):
+        """Quantize the folded weights against `absmax` and swap the
+        engine onto the int8 program — the ONE swap sequence shared by
+        pinned (--calib) and lazy (first-arrival) calibration, so a
+        placement/donation change can never apply to one path only."""
+        from ..models.quant import make_quant_predict, quantize_params
         pruned, qconv = quantize_params(jax.device_get(self.params), geoms)
         pruned["__quant__"] = qconv
         predict_q = make_quant_predict(self.model, absmax, geoms)
         self.params, self.batch_stats, self._run_batch = self._place_and_jit(
             pruned, jax.device_get(self.batch_stats), predict_q)
-        self._calib_absmax = absmax
         self._quant_ready = True
 
     @classmethod
@@ -320,8 +327,7 @@ class InferenceEngine:
     def _calibrate(self, canvas, sizes):
         """Accumulate per-tensor activation absmax over this batch; on the
         calib_batches-th batch, quantize and swap in the int8 program."""
-        from ..models.quant import (make_calib_fn, make_quant_predict,
-                                    quantize_params)
+        from ..models.quant import make_calib_fn
         if self._calib_fn is None:
             calib_fn, self._calib_geoms = make_calib_fn(self.model)
 
@@ -341,14 +347,7 @@ class InferenceEngine:
         self._calib_seen += 1
         if self._calib_seen < self.calib_batches:
             return  # keep serving full precision while calibrating
-        absmax, geoms = self._calib_absmax, self._calib_geoms
-        pruned, qconv = quantize_params(jax.device_get(self.params),
-                                        geoms)
-        pruned["__quant__"] = qconv
-        predict_q = make_quant_predict(self.model, absmax, geoms)
-        self.params, self.batch_stats, self._run_batch = self._place_and_jit(
-            pruned, jax.device_get(self.batch_stats), predict_q)
-        self._quant_ready = True
+        self._swap_to_quant(self._calib_absmax, self._calib_geoms)
 
     def predict_images(self, images):
         """images: list of uint8 arrays (2-D gray ROIs or 3-D RGB).

@@ -236,6 +236,24 @@ class TestBenchWallBudget:
         assert len(out["trials"]) == 1
         assert out["budget_truncated"] is True
 
+    def test_single_trial_exhausted_entry_still_marked(self, monkeypatch):
+        """With n_trials=1 and the budget spent on entry, the one counted
+        trial ran cold (warmups skipped) — the payload must still carry
+        budget_truncated even though len(trials) == n_trials, or the
+        ledger publishes a cold outlier as a clean full run."""
+        sys.path.insert(0, REPO)
+        import bench
+        monkeypatch.setenv("BENCH_WALL_BUDGET_S", "0.0001")
+        monkeypatch.setenv("BENCH_WARMUP_TRIALS", "2")
+        monkeypatch.setenv("BENCH_TRIALS", "1")
+        monkeypatch.setenv("BENCH_ITERS", "1")
+        monkeypatch.setenv("BENCH_BATCH", "2")
+        monkeypatch.setenv("BENCH_MODEL", "resnet18")
+        monkeypatch.setenv("BENCH_SIZE", "64")
+        out = bench.bench_train()
+        assert len(out["trials"]) == 1
+        assert out["budget_truncated"] is True
+
     def test_malformed_budget_falls_back_to_default(self, monkeypatch,
                                                     capsys):
         """BENCH_WALL_BUDGET_S='20m' must degrade to the 1200 default with

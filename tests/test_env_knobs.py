@@ -25,7 +25,11 @@ class TestInventoryComplete:
         for root, _dirs, files in os.walk(
                 os.path.join(REPO, "ifcb_classifier_tpu")):
             for fn in files:
-                if not fn.endswith(".py"):
+                if not fn.endswith(".py") or fn == "envknobs.py":
+                    # the inventory itself must not count as a "read":
+                    # including it makes found ⊇ KNOBS always, so a knob
+                    # whose last product read was deleted would never be
+                    # flagged stale
                     continue
                 with open(os.path.join(root, fn)) as f:
                     # (?<![A-Z_]) keeps the _IFCBNN_DRYRUN_CHILD sentinel

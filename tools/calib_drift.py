@@ -114,9 +114,16 @@ def main():
     eval_imgs = [img for group in itertools.zip_longest(*per_bin)
                  for img in group if img is not None]
     if args.eval_max_dim:
-        eval_imgs = [im for im in eval_imgs
-                     if max(im.shape[:2]) <= args.eval_max_dim]
+        kept = [im for im in eval_imgs
+                if max(im.shape[:2]) <= args.eval_max_dim]
+        assert kept, (
+            f"--eval-max-dim {args.eval_max_dim} filtered out ALL "
+            f"{len(eval_imgs)} eval ROIs (real IFCB ROIs routinely exceed "
+            f"64 px) — raise it or pass --eval-max-dim 0 to keep every "
+            f"ladder (more compiles per engine)")
+        eval_imgs = kept
     eval_imgs = eval_imgs[:args.eval_count]
+    assert eval_imgs, f"no eval ROIs found under {args.bins}"
     print(f"eval set: {len(eval_imgs)} ROIs from {len(adcs)} bins; "
           f"{len(calib_bins)} calib sources; backend "
           f"{jax.default_backend()}")

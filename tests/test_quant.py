@@ -334,6 +334,58 @@ class TestQuantService:
         assert sorted(os.listdir(out)) == ["D20240401T000000_IFCB900.json",
                                            "D20240402T000000_IFCB900.json"]
 
+    def test_watch_composes_with_pinned_calib(self, tmp_path, monkeypatch):
+        """--watch + --precision int8 --calib DIR: the long-lived service
+        shape the pinning flag exists for. The engine must be int8-ready
+        BEFORE the first pass (no first-arrival dependence) and the
+        service must produce the same outputs as the lazy arm."""
+        import argparse
+        import os
+
+        from ifcb_classifier_tpu.infer import runner
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+
+        model = get_namebrand_model("resnet18", 2)
+        params, stats = _randomized_variables(model, jax.random.PRNGKey(5),
+                                              32)
+        ck = str(tmp_path / "m.ptl")
+        save_checkpoint(ck, params, stats,
+                        dict(MODEL="resnet18", classes=["a", "b"], resize=32,
+                             model_id="m", seed=1, img_norm=None))
+        root = tmp_path / "bins"
+        write_bin(str(root), "D20240501T000000_IFCB900",
+                  [make_roi(16, 20, 1), make_roi(10, 10, 2)], 2)
+        calib = tmp_path / "calib"
+        write_bin(str(calib), "D20240502T000000_IFCB900",
+                  [make_roi(18, 18, 7)], 2)
+
+        built = {}
+        orig = InferenceEngine.from_args.__func__
+
+        def spy(cls, args):
+            eng = orig(cls, args)
+            built["engine"] = eng
+            # captured at BUILD time, before any bin was dispatched
+            built["ready_at_build"] = eng._quant_ready
+            return eng
+
+        monkeypatch.setattr(InferenceEngine, "from_args",
+                            classmethod(spy))
+        out = str(tmp_path / "out")
+        args = argparse.Namespace(
+            cmd_mode="RUN", SRC=str(root), MODEL=ck, RUN_ID="r",
+            batch_size=8, loaders=1, src_type="bin", outdir=out,
+            outfile=["{BIN_ID}.json"], filter=None, clobber=False,
+            gobig=False, cmd_timestamp="2026-08-16T00:00:00+00:00",
+            watch=0.01, watch_passes=1, watch_settle=0.0,
+            precision="int8", calib=str(calib))
+        runner.do_run(args)
+        assert built["ready_at_build"]  # pinned BEFORE the first pass
+        assert built["engine"].calib_src == str(calib)
+        assert os.listdir(out) == ["D20240501T000000_IFCB900.json"]
+
     def test_gobig_serves_int8_scores_match_per_bin(self, tmp_path):
         """The high-throughput deployment combination: --gobig + --precision
         int8 in ONE run. Cross-bin batches route through the same lazy-

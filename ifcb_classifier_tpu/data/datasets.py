@@ -284,6 +284,24 @@ class NeustonDataset:
         return len(self.images)
 
 
+def scan_dataset(args):
+    """NeustonDataset from an argparse namespace — the ONE mapping from the
+    (SRC, --class-config, --class-min/--class-max) flag surface to a scanned
+    dataset, shared by TRAIN (here), VAL (train/evaluate.py), and
+    CALC_IMG_NORM (util_cli.py). They used to carry three verbatim copies;
+    a --class-config semantics change applied to one would silently make
+    VAL evaluate a different class mapping than TRAIN trained on."""
+    if not getattr(args, "class_config", None):
+        return NeustonDataset(src=args.SRC,
+                              minimum_images_per_class=args.class_min,
+                              maximum_images_per_class=args.class_max)
+    return NeustonDataset.from_csv(
+        src=args.SRC, csv_file=args.class_config[0],
+        column_to_run=args.class_config[1],
+        minimum_images_per_class=args.class_min,
+        maximum_images_per_class=args.class_max)
+
+
 def get_trainval_datasets(args):
     """Dataset construction + split + reporting (neuston_data.py:292-329).
 
@@ -292,15 +310,7 @@ def get_trainval_datasets(args):
     transform objects are attached.
     """
     print('Scanning dataset...')
-    if not args.class_config:
-        nd = NeustonDataset(src=args.SRC, minimum_images_per_class=args.class_min,
-                            maximum_images_per_class=args.class_max)
-    else:
-        nd = NeustonDataset.from_csv(
-            src=args.SRC, csv_file=args.class_config[0],
-            column_to_run=args.class_config[1],
-            minimum_images_per_class=args.class_min,
-            maximum_images_per_class=args.class_max)
+    nd = scan_dataset(args)
     ratio1, ratio2 = map(int, args.split.split(':'))
     dataset_tup = nd.split(ratio1, ratio2, seed=args.seed)
     if not getattr(args, 'swap', False):

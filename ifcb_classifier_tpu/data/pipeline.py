@@ -171,7 +171,13 @@ class HostLoader:
 
     def __iter__(self):
         rng = np.random.default_rng((self.seed or 0) + self._epoch)
-        if self.balanced:
+        if self.balanced and self.n_real == 0:
+            # an ALL-pads shard (more replica groups than training images —
+            # shard_manifest borrowed every row): rng.choice(0, ...) would
+            # raise; serve the pad rows in order like the unbalanced path
+            # (every row is masked out of loss/metrics anyway)
+            order = np.arange(len(self.items))
+        elif self.balanced:
             # class-balanced sampling (with replacement, inverse-frequency
             # weights): one "epoch" still draws len(items) samples, but each
             # class contributes ~equally — the BASELINE config #4 sampler the

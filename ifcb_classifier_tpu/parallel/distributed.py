@@ -41,6 +41,16 @@ def initialize_from_env(coordinator_port: int = 9377) -> bool:
     if ntasks > 1:
         coordinator = os.environ.get("IFCBNN_COORDINATOR") or \
             _slurm_first_host(os.environ.get("SLURM_JOB_NODELIST", ""))
+        if not coordinator:
+            # a silently-empty host would produce coordinator_address
+            # ":PORT" and an opaque connection hang/failure deep inside
+            # jax.distributed — name the actual missing variable instead
+            raise RuntimeError(
+                "SLURM_NTASKS={} but no coordinator host could be derived: "
+                "SLURM_JOB_NODELIST is unset/unexpandable ({!r}) and "
+                "IFCBNN_COORDINATOR is not set — run under srun, or set "
+                "IFCBNN_COORDINATOR=<rank0-host>".format(
+                    ntasks, os.environ.get("SLURM_JOB_NODELIST", "")))
         # derive the port from the job id (like jax's own SlurmCluster):
         # two jobs whose rank-0 tasks share a node must not collide on one
         # fixed port. IFCBNN_COORDINATOR_PORT overrides.

@@ -251,6 +251,19 @@ def validate_plot_files(plot_files, *, which, src_type=None):
         if unknown:
             raise ValueError("--plot {}: unknown plot param(s) {}; choose "
                              "from {}".format(fname, unknown, allowed))
+        # extension must be a format matplotlib can actually save — a typo
+        # (.pgn) or a params-as-fname slip (--plot counts) would otherwise
+        # pass startup and raise at the FIRST render, killing a TRAIN at
+        # its first best epoch (validate_result_files checks its
+        # extensions; this is the same front-loading for figures)
+        ext = os.path.splitext(fname)[1].lstrip(".").lower()
+        from matplotlib.figure import Figure
+        supported = Figure().canvas.get_supported_filetypes()
+        if ext not in supported:
+            raise ValueError(
+                "--plot {}: unsupported figure extension {!r}; matplotlib "
+                "formats here: {}".format(fname, ext or "(none)",
+                                          sorted(supported)))
         if which == "run" and src_type == "img" and (
                 "{BIN_" in fname or "{INPUT_SUBDIRS}" in fname):
             raise ValueError("--plot bin patterns ({BIN_ID} etc.) are not "

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 def do_validation(args):
     """Evaluate args.MODEL on the labeled folder tree args.SRC."""
-    from ..data.datasets import NeustonDataset, parse_imgnorm
+    from ..data.datasets import parse_imgnorm, scan_dataset
     from ..data.pipeline import HostLoader, prefetch
     from ..models import get_namebrand_model
     from ..ops.preprocess import preprocess_batch
@@ -76,17 +76,9 @@ def do_validation(args):
     mean, std = parse_imgnorm(img_norm) if img_norm else (None, None)
 
     # labeled dataset: same scan/merge semantics as TRAIN, no split
+    # (scan_dataset is the ONE shared flag→dataset mapping)
     print("Scanning dataset...")
-    if not getattr(args, "class_config", None):
-        nd = NeustonDataset(src=args.SRC,
-                            minimum_images_per_class=args.class_min,
-                            maximum_images_per_class=args.class_max)
-    else:
-        nd = NeustonDataset.from_csv(
-            src=args.SRC, csv_file=args.class_config[0],
-            column_to_run=args.class_config[1],
-            minimum_images_per_class=args.class_min,
-            maximum_images_per_class=args.class_max)
+    nd = scan_dataset(args)
     unknown = [c for c in nd.classes if c not in classes]
     if unknown:
         raise ValueError(
@@ -117,20 +109,26 @@ def do_validation(args):
 
     class _EvalState:  # make_eval_step only reads .params / .batch_stats
         pass
-    state = _EvalState()
-    state.params, state.batch_stats = params, batch_stats
 
-    def fused_eval(raw):
+    def fused_eval(params, batch_stats, raw):
         # deterministic eval: no flips (TRAIN applies val flips only under
         # --flip ...+V, an augmentation-of-validation option that has no
         # place in an acceptance measurement)
+        st = _EvalState()
+        st.params, st.batch_stats = params, batch_stats
         images = preprocess_batch(raw["canvas"], raw["sizes"], None,
                                   out_size=resize, mean=mean, std=std,
                                   dtype=jnp.float32)
-        return raw_eval(state, dict(images=images, labels=raw["labels"],
-                                    mask=raw["mask"]))
+        return raw_eval(st, dict(images=images, labels=raw["labels"],
+                                 mask=raw["mask"]))
 
+    # weights as jit ARGUMENTS, not closure constants (TRAIN's own eval
+    # pattern): closing over them bakes ~100 MB of params into the HLO of
+    # every canvas-ladder compile and defeats the persistent compile cache
+    # across checkpoints (the graph is identical; only the weights differ)
     eval_step = jax.jit(fused_eval)
+    params = jax.device_put(params)
+    batch_stats = jax.device_put(batch_stats)
 
     loader = HostLoader(list(nd.images), [int(x) for x in labels],
                         batch_size=args.batch_size,
@@ -138,7 +136,8 @@ def do_validation(args):
                         n_real=len(nd.images))
     losses, probs_l, ns, classes_l, srcs = [], [], [], [], []
     for b in prefetch(iter(loader)):
-        loss, probs = eval_step(dict(canvas=b["canvas"], sizes=b["sizes"],
+        loss, probs = eval_step(params, batch_stats,
+                                dict(canvas=b["canvas"], sizes=b["sizes"],
                                      labels=np.asarray(b["labels"]),
                                      mask=np.asarray(b["mask"])))
         n = int(b["mask"].sum())
@@ -172,10 +171,13 @@ def do_validation(args):
         print("Saved", outfile)
 
     from sklearn.metrics import f1_score
-    f1_w = f1_score(input_classes, np.argmax(probs, 1), average="weighted",
-                    labels=list(range(len(classes))), zero_division=0)
-    f1_m = f1_score(input_classes, np.argmax(probs, 1), average="macro",
-                    labels=list(range(len(classes))), zero_division=0)
+    # sklearn's DEFAULT labels basis (classes present in y_true/y_pred),
+    # exactly like TRAIN's epochs.csv f1 (train/loop.py): a fixed
+    # range(len(classes)) basis would count every checkpoint class absent
+    # from SRC as 0.0 and silently deflate the macro average — VAL's
+    # whole contract is comparability with TRAIN's numbers
+    f1_w = f1_score(input_classes, np.argmax(probs, 1), average="weighted")
+    f1_m = f1_score(input_classes, np.argmax(probs, 1), average="macro")
     print("VAL: {} images, val_loss={:.3f}, val_f1_w={:.1%}, "
           "val_f1_m={:.1%}".format(len(srcs), val_loss, f1_w, f1_m))
 

@@ -77,19 +77,11 @@ def calc_img_norm(args):
     import jax
     import jax.numpy as jnp
 
-    from .data.datasets import NeustonDataset
+    from .data.datasets import scan_dataset
     from .data.pipeline import HostLoader, prefetch
     from .ops.preprocess import preprocess_batch
 
-    if not args.class_config:
-        nd = NeustonDataset(src=args.SRC, minimum_images_per_class=args.class_min,
-                            maximum_images_per_class=args.class_max)
-    else:
-        nd = NeustonDataset.from_csv(
-            src=args.SRC, csv_file=args.class_config[0],
-            column_to_run=args.class_config[1],
-            minimum_images_per_class=args.class_min,
-            maximum_images_per_class=args.class_max)
+    nd = scan_dataset(args)  # the shared flag→dataset mapping
 
     loader = HostLoader(nd.images, nd.targets, batch_size=args.batch_size,
                         num_workers=4, shuffle=False)

@@ -46,6 +46,24 @@ class TestMeshes:
         assert tuple(conv_spec) == ()
 
 
+class TestSlurmInit:
+    def test_empty_nodelist_fails_fast_with_named_fix(self, monkeypatch):
+        """SLURM_NTASKS set but no derivable coordinator host: the old
+        behavior built coordinator_address ':PORT' and hung/died opaquely
+        inside jax.distributed — the error must name the missing variable
+        and the override."""
+        from ifcb_classifier_tpu.parallel.distributed import (
+            initialize_from_env)
+        monkeypatch.delenv("IFCBNN_DISABLE_DISTRIBUTED", raising=False)
+        monkeypatch.delenv("IFCBNN_COORDINATOR", raising=False)
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+        monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        monkeypatch.setenv("SLURM_JOB_NODELIST", "")
+        with pytest.raises(RuntimeError, match="IFCBNN_COORDINATOR"):
+            initialize_from_env()
+
+
 class TestDPCorrectness:
     def _loss_and_grads(self, setup, mesh):
         """One fwd/bwd — the deterministic correctness quantity. (Multi-step

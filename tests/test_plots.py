@@ -182,6 +182,25 @@ class TestRunPlotWiring:
                               plot_files=[["{BIN_ID}.png"]]))
 
 
+class TestPlotValidation:
+    def test_unsupported_extension_fails_at_startup(self):
+        """A typo'd extension (or a params-as-fname slip like
+        `--plot counts`) must fail BEFORE any compute — render-time
+        discovery killed a TRAIN at its first best epoch."""
+        import pytest
+        from ifcb_classifier_tpu.results.plots import validate_plot_files
+        with pytest.raises(ValueError, match="unsupported figure ext"):
+            validate_plot_files([["plots.pgn", "counts"]], which="run")
+        with pytest.raises(ValueError, match="unsupported figure ext"):
+            validate_plot_files([["counts"]], which="run")  # no fname
+        with pytest.raises(ValueError, match="unsupported figure ext"):
+            validate_plot_files([["curves.csv", "curves"]], which="train")
+        # every documented-good format still passes
+        validate_plot_files([["a.png", "counts"], ["b.pdf", "scores"],
+                             ["c.svg", "counts"]], which="run")
+        validate_plot_files([["{epoch}.png", "curves"]], which="train")
+
+
 class TestPlotCLI:
     def test_train_and_run_parse(self):
         from ifcb_classifier_tpu.cli import argparse_nn

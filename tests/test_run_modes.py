@@ -662,6 +662,23 @@ class TestManifestAndDiscoveryFixes:
             assert b["mask"].all()          # no wasted masked rows
             assert (b["indices"] < 8).all()  # pads never drawn
 
+    def test_balanced_sampler_survives_all_pads_shard(self, tmp_path):
+        """An ALL-pads shard (more replica groups than training images:
+        shard_manifest borrowed every row, n_real=0) must iterate like the
+        unbalanced path — rng.choice over zero items used to raise and
+        crash the whole multi-host TRAIN on the smallest datasets."""
+        from fixtures import write_image_folder_dataset
+        from ifcb_classifier_tpu.data.pipeline import HostLoader
+        src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                         {"a": 1}, size=(20, 20))
+        import glob as g
+        p = sorted(g.glob(src + "/*/*.png"))[0]
+        ld = HostLoader([p, p], [0, 0], batch_size=2, shuffle=True,
+                        seed=3, balanced=True, n_real=0)
+        batches = list(ld)
+        assert len(batches) == 1
+        assert not batches[0]["mask"].any()  # every row masked out
+
 
 class TestOrchestrationReviewFixes:
     """Third review batch: precision plumbing, filter validation, settle=0,

@@ -67,6 +67,35 @@ class TestValBasics:
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
+    def test_f1_basis_matches_train_on_partial_class_coverage(
+            self, trained_for_val, tmp_path):
+        """VAL on a SRC containing only SOME checkpoint classes: the
+        printed/returned f1 must use sklearn's default labels basis (like
+        TRAIN's epochs.csv f1) — a fixed range(len(classes)) basis counted
+        every absent checkpoint class as 0.0 and silently deflated the
+        macro average, breaking the TRAIN-comparability contract."""
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src, _, ckpt = trained_for_val
+            sub = str(tmp_path / "subset")
+            os.makedirs(sub)
+            shutil.copytree(os.path.join(src, "a"),
+                            os.path.join(sub, "a"))  # class b absent
+            vout = str(tmp_path / "val")
+            from ifcb_classifier_tpu.train.evaluate import do_validation
+            summary = do_validation(val_args(sub, ckpt, vout))
+            d = json.load(open(os.path.join(vout, "val_results.json")))
+            from sklearn.metrics import f1_score
+            y = np.asarray(d["input_classes"])
+            yhat = np.argmax(np.asarray(d["output_scores"]), 1)
+            # TRAIN's exact basis (train/loop.py): sklearn default labels
+            assert summary["f1_macro"] == pytest.approx(
+                f1_score(y, yhat, average="macro"))
+            assert summary["f1_weighted"] == pytest.approx(
+                f1_score(y, yhat, average="weighted"))
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
     def test_scores_match_trains_own_validation(self, trained_for_val,
                                                 tmp_path):
         """Pin VAL to TRAIN's validation exactly: evaluating the images of

@@ -67,7 +67,13 @@ class InferenceEngine:
         self.hparams = hparams
         self.classes = hparams["classes"]
         self.resize = hparams["resize"]
-        self.model_id = hparams.get("model_id")
+        # migrated .ptl checkpoints may lack model_id: fall back to the
+        # checkpoint basename — the SAME fallback sbatch.py applies at
+        # submit time, so the {MODEL_ID} outdir a job renders at runtime
+        # matches where its SLURM logs/archived script landed (a None here
+        # also crashed the .h5/.mat writers after classification)
+        self.model_id = hparams.get("model_id") or \
+            os.path.splitext(os.path.basename(ckpt_path))[0]
         self.seed = hparams.get("seed", 0)
         self.img_norm = hparams.get("img_norm")
         self.batch_size = batch_size
@@ -773,6 +779,11 @@ def do_run(args, engine=None):
             args.outfile = ["D{BIN_YEAR}/D{BIN_DATE}/{BIN_ID}_class.h5"]
         if args.src_type == "img":
             args.outfile = ["img_results.json"]
+    # fail fast on a typo'd --outfile placeholder/extension — the same
+    # front-loading --results and --plot get; discovering it at the first
+    # write would lose hours of inference
+    from ..results.run import validate_outfiles
+    validate_outfiles(args.outfile, src_type=args.src_type)
 
     filter_mode, filter_keywords = parse_filter(args.filter)
 

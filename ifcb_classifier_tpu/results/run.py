@@ -31,8 +31,17 @@ def save_run_results(input_images, output_scores, class_labels, timestamp,
     output_scores = np.asarray(output_scores)
     output_classes = np.argmax(output_scores, axis=1)
 
-    assert output_scores.shape[0] == len(output_classes), 'score rows != number of inputs'
-    assert output_scores.shape[1] == len(class_labels), 'score columns != number of class labels'
+    # vs input_images, NOT output_classes (the reference's form was a
+    # tautology — argmax of scores always matches the score rows): a
+    # packing/bucketing defect upstream must fail here, not silently
+    # truncate the img-mode zip or misalign roi_numbers with scores
+    if output_scores.shape[0] != len(input_images):
+        raise ValueError('score rows ({}) != number of inputs ({})'.format(
+            output_scores.shape[0], len(input_images)))
+    if output_scores.shape[1] != len(class_labels):
+        raise ValueError('score columns ({}) != number of class labels '
+                         '({})'.format(output_scores.shape[1],
+                                       len(class_labels)))
 
     results = dict(version='v3', model_id=model_id, timestamp=timestamp,
                    class_labels=list(class_labels), input_images=list(input_images),
@@ -54,7 +63,15 @@ def save_run_results(input_images, output_scores, class_labels, timestamp,
             input_src = input_obj if (input_obj and os.path.isdir(input_obj)) else ''
             for img_path, cls_idx, scores in zip(input_images, output_classes,
                                                  output_scores):
-                parent = os.path.dirname(img_path.replace(input_src, ''))
+                # PREFIX-anchored strip (QUIRKS.md FIXED row — same rule
+                # as bin mode, infer/runner.py): the reference's
+                # .replace(src, '') removes EVERY occurrence, so
+                # SRC=/data over /data/ifcb/data/D2021/x.png collapsed
+                # the namespace and outputs landed in a wrong directory
+                rel = (img_path[len(input_src):]
+                       if input_src and img_path.startswith(input_src)
+                       else img_path)
+                parent = os.path.dirname(rel)
                 if parent not in dir_groups:
                     dir_groups[parent] = {
                         k: (v if k not in ('input_images', 'output_classes',
@@ -76,10 +93,41 @@ def save_run_results(input_images, output_scores, class_labels, timestamp,
             _save_run_results(outfile, results)
 
 
+RUN_OUTFILE_EXTS = ('.json', '.mat', '.h5')
+
+
+def validate_outfiles(outfiles, src_type='bin'):
+    """Fail fast at RUN startup on a bad --outfile pattern — a typo'd
+    placeholder or unsupported extension must not surface AFTER hours of
+    inference (the front-loading --results and --plot already have;
+    render-time discovery loses the whole run's outputs)."""
+    for outfile in outfiles or []:
+        ext = os.path.splitext(outfile)[-1]
+        if ext not in RUN_OUTFILE_EXTS:
+            raise ValueError(
+                '--outfile {}: unsupported result-file extension {!r}; '
+                'choose from {}'.format(outfile, ext or '(none)',
+                                        list(RUN_OUTFILE_EXTS)))
+        if '{' in outfile or '}' in outfile:
+            dummy = (dict(BIN_ID='b', BIN_YEAR=2020, BIN_DATE='d',
+                          INPUT_SUBDIRS='') if src_type == 'bin'
+                     else dict(INPUT_SUBDIRS=''))
+            try:
+                outfile.format(**dummy)
+            except (KeyError, IndexError, ValueError):
+                raise ValueError(
+                    '--outfile {}: unknown placeholder; available for '
+                    '--type {}: {}'.format(
+                        outfile, src_type,
+                        sorted('{%s}' % k for k in dummy))) from None
+
+
 def _save_run_results(outfile, results):
     ext = os.path.splitext(outfile)[-1]
-    assert ext in ['.json', '.mat', '.h5'], \
-        'unsupported result-file extension "{}"'.format(ext)
+    if ext not in RUN_OUTFILE_EXTS:  # a raise, not an assert: python -O
+        # must not turn this into silently writing NOTHING
+        raise ValueError(
+            'unsupported result-file extension "{}"'.format(ext))
     if outfile.endswith('.json'):
         _save_json(outfile, results)
     if outfile.endswith('.mat'):

@@ -52,6 +52,27 @@ DEFAULTS = dict(JOB_NAME="NN", WALLTIME="24:00:00", NTASKS=1,
                 ENV_SETUP="source activate ifcbnn")
 
 
+# pre-subcommand flags that take NO value (argparse store_true): a
+# subcommand token right after one of these is the real subcommand, not an
+# option value. Every other pre-subcommand option consumes the next token.
+_VALUELESS_PRE_FLAGS = {"--dry-run", "--remat"}
+
+
+def _subcommand_index(argv, cmd):
+    """Index of the TRAIN|RUN|VAL token in argv — the first occurrence NOT
+    positioned as some option's value. The reference's bare .index()
+    (neuston_sbatch.py:72) splices from `--job-name VAL`'s VALUE,
+    duplicating the token and shifting every positional (QUIRKS.md)."""
+    for i in range(1, len(argv)):
+        if argv[i] != cmd:
+            continue
+        prev = argv[i - 1]
+        if (not prev.startswith("-") or prev in _VALUELESS_PRE_FLAGS
+                or "=" in prev):
+            return i
+    return argv.index(cmd)  # unreachable for parseable argv; be safe
+
+
 def default_email():
     try:
         return "{}@localhost".format(os.getlogin())
@@ -70,16 +91,21 @@ def main(parser):
                      'or "VAL".')
 
     from .utils.config import add_runtime_params, proc_outdir
-    add_runtime_params(args)
+    # probe_devices=False: submitting must never dial the TPU tunnel (a
+    # downed claim hangs jax.devices() ~40 min on a login node); the job
+    # recomputes its own device list at runtime
+    add_runtime_params(args, probe_devices=False)
     if args.cmd_mode in ("TRAIN", "VAL"):
         proc_outdir(args)
     elif args.cmd_mode == "RUN":
         # resolve {RUN_ID}/{MODEL_ID} here too (the reference does,
         # neuston_net.py:438-444) — otherwise SLURM logs and the archived
-        # script land in a directory literally named '{RUN_ID}'
+        # script land in a directory literally named '{RUN_ID}'.
+        # load_hparams, not load_checkpoint: submit time must not port
+        # hundreds of MB of weights just to read one string
         try:
-            from .train.checkpoint import load_checkpoint
-            model_id = load_checkpoint(args.MODEL)[2].get("model_id")
+            from .train.checkpoint import load_hparams
+            model_id = load_hparams(args.MODEL).get("model_id")
         except Exception:  # ckpt not present at submit time (job chains)
             model_id = None
         if not model_id:  # missing hparams key must also hit the fallback,
@@ -95,13 +121,19 @@ def main(parser):
         sbatch_dict["SLURM_LOG_DIR"] = args.outdir
     if args.conda_env:
         sbatch_dict["ENV_SETUP"] = "source activate {}".format(args.conda_env)
-    os.makedirs(sbatch_dict["SLURM_LOG_DIR"], exist_ok=True)
+    if not args.dry_run:
+        # a --dry-run preview must not create directories as a side effect
+        os.makedirs(sbatch_dict["SLURM_LOG_DIR"], exist_ok=True)
 
     # splice argv from the TRAIN|RUN|VAL token into the re-invoked command
-    # (neuston_sbatch.py:72-78)
-    idx = sys.argv.index(args.cmd_mode)
-    nn_args = sys.argv[idx:]
-    nn_args = [a if " " not in a else '"{}"'.format(a) for a in nn_args]
+    # (neuston_sbatch.py:72-78 role; two reference quirks FIXED here, see
+    # QUIRKS.md: naive first-occurrence index — `--job-name VAL VAL ...`
+    # spliced from the option VALUE, duplicating the token and shifting
+    # every positional — and space-only quoting, which pasted `$`, `;`,
+    # quotes etc. unescaped into the sh script body)
+    import shlex
+    idx = _subcommand_index(sys.argv, args.cmd_mode)
+    nn_args = [shlex.quote(a) for a in sys.argv[idx:]]
     cmd = "python -m ifcb_classifier_tpu {}".format(" ".join(nn_args))
     if int(sbatch_dict["NTASKS"]) > 1:
         # multi-host: the batch script body runs ONCE on the first node —

@@ -151,7 +151,6 @@ def _load_lightning_checkpoint(path: str):
 
     # shape/dtype template without touching any device (works under the
     # pinned-TPU platform): abstract-init, then materialize host zeros
-    import jax
     import jax.numpy as jnp
     model = get_namebrand_model(model_name, len(classes),
                                 pretrained=bool(hp.get("pretrained", True)))
@@ -176,11 +175,37 @@ def _load_lightning_checkpoint(path: str):
     return params, stats, hparams
 
 
+def load_hparams(path: str) -> dict:
+    """hparams only, WITHOUT building the model or porting weights.
+
+    For submit-time consumers (sbatch resolves {MODEL_ID} on a login
+    node): a Lightning `.ptl` stops after reading `hyper_parameters` —
+    no eval_shape, no tensor-by-tensor port of hundreds of MB. Native
+    msgpack checkpoints still parse the one file (msgpack has no partial
+    decode) but skip nothing else."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head == b"PK\x03\x04":  # torch zip checkpoint
+            # SAME hardened loader as the full path (allowlist unpickler —
+            # raw torch.load here would reopen the ACE hole it closed)
+            from ..models.torch_port import tolerant_torch_load
+            ckpt = tolerant_torch_load(path)
+            hp = ckpt.get("hyper_parameters") or ckpt.get("hparams") or {}
+            if not isinstance(hp, dict):
+                hp = vars(hp)
+            return dict(_jsonable(hp))
+        blob = head + f.read()
+    payload = flax.serialization.msgpack_restore(blob)
+    if not (isinstance(payload, dict)
+            and payload.get("format") == FORMAT_TAG):
+        raise ValueError(f"{path}: not an ifcbnn checkpoint")
+    return json.loads(payload["hparams_json"])
+
+
 def save_train_state(path: str, state, extra: dict):
     """Full-fidelity step checkpoint for mid-training resume (params +
     batch_stats + optimizer moments + loop bookkeeping). The reference's
     checkpoints are model artifacts only — no true resume (SURVEY.md §5.4)."""
-    import jax
     payload = {
         "format": FORMAT_TAG + "-trainstate",
         "extra_json": json.dumps(_jsonable(extra)),
@@ -189,7 +214,6 @@ def save_train_state(path: str, state, extra: dict):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(flax.serialization.msgpack_serialize(payload))
-    import os
     os.replace(tmp, path)
 
 

@@ -28,8 +28,13 @@ def enable_compile_cache(cache_dir=None):
     return cache_dir
 
 
-def add_runtime_params(args):
-    """Timestamp + version + device list (neuston_net.py:415-432)."""
+def add_runtime_params(args, probe_devices=True):
+    """Timestamp + version + device list (neuston_net.py:415-432).
+
+    probe_devices=False skips jax.devices() for submit-time consumers
+    (sbatch runs on a login node: a downed axon tunnel makes the first
+    backend touch HANG ~40 min — and the re-invoked job recomputes the
+    device list itself anyway)."""
     args.cmd_timestamp = dt.datetime.now(dt.timezone.utc).isoformat(
         timespec='seconds')
     try:
@@ -37,11 +42,13 @@ def add_runtime_params(args):
             args.version = f.read().strip()
     except FileNotFoundError:
         args.version = None
-    try:
-        import jax
-        args.devices = [str(d) for d in jax.devices()]
-    except Exception:
-        args.devices = []
+    args.devices = []
+    if probe_devices:
+        try:
+            import jax
+            args.devices = [str(d) for d in jax.devices()]
+        except Exception:
+            pass
     return args
 
 

@@ -411,6 +411,80 @@ class TestSbatchRunOutdir:
         assert not (tmp_path / "run-output" / "{RUN_ID}").exists()
 
 
+class TestSbatchRound5Fixes:
+    def test_subcommand_index_skips_option_values(self, tmp_path):
+        """`--job-name VAL VAL model src`: the splice must start at the
+        real subcommand, not the --job-name VALUE — the reference's bare
+        .index() duplicated the token and shifted every positional."""
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "VAL",
+             "VAL", "srcdir", "model.ptl", "vid",
+             "--outdir", str(tmp_path)],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        content = (tmp_path / "xxxxxx.VAL.sbatch").read_text()
+        assert ("python -m ifcb_classifier_tpu VAL srcdir model.ptl vid"
+                in content)
+        assert "VAL VAL" not in content
+
+    def test_shell_metacharacters_are_quoted(self, tmp_path):
+        """Args containing $/;/quotes must be shlex-quoted into the
+        rendered sh body — space-only quoting pasted them unescaped and
+        the shell expanded/split them at job runtime."""
+        evil = "we$ird;name'x"
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "q1",
+             "TRAIN", "srcdir", "resnet18", evil,
+             "--outdir", str(tmp_path)],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        content = (tmp_path / "xxxxxx.q1.sbatch").read_text()
+        import shlex
+        assert shlex.quote(evil) in content
+        # the quoted CMD line round-trips through shlex to the same argv
+        cmd_line = next(ln for ln in content.splitlines()
+                        if ln.startswith("python -m ifcb_classifier_tpu"))
+        assert shlex.split(cmd_line)[3:] == ["TRAIN", "srcdir", "resnet18",
+                                             evil, "--outdir",
+                                             str(tmp_path)]
+
+    def test_dry_run_does_not_create_slurm_log_dir(self, tmp_path):
+        """--dry-run advertises 'render without submitting' — it must not
+        create the --slurm-log-dir tree as a side effect."""
+        logdir = tmp_path / "new" / "deep" / "logs"
+        r = subprocess.run(
+            [sys.executable, "-m", "ifcb_classifier_tpu.sbatch", "--dry-run",
+             "--job-name", "d1", "--slurm-log-dir", str(logdir),
+             "TRAIN", "srcdir", "resnet18", "tid",
+             "--outdir", str(tmp_path)],
+            cwd=REPO, env=ENV, capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        assert not logdir.exists()
+
+    def test_submit_does_not_probe_devices(self, tmp_path):
+        """Submission must never dial the TPU backend (a downed tunnel
+        hangs jax.devices() ~40 min on a login node). Simulated by making
+        backend init raise loudly via a poisoned pool IP + asserting the
+        submit still succeeds fast."""
+        env = dict(ENV)
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "import jax\n"
+            "def boom(*a, **k): raise SystemExit('submit dialed devices')\n"
+            "jax.devices = boom\n"
+            "sys.argv = ['ifcbnn-sbatch', '--dry-run', '--job-name', 'nd',"
+            " 'TRAIN', 'srcdir', 'resnet18', 'tid', '--outdir', %r]\n"
+            "from ifcb_classifier_tpu.sbatch import main_cli\n"
+            "main_cli()\n"
+            "print('NO-PROBE-OK')\n" % (REPO, str(tmp_path)))
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        assert "NO-PROBE-OK" in r.stdout
+
+
 class TestSbatchRound3Fixes:
     def test_hparams_without_model_id_falls_back_to_stem(self, tmp_path):
         """A checkpoint whose hparams lack model_id must fall back to the

@@ -155,6 +155,48 @@ class TestRunResults:
                 data = json.load(f)
             assert data['input_images'] == names
 
+    def test_img_input_subdirs_prefix_anchored(self, tmp_path):
+        """SRC occurring AGAIN deeper in an image path must not collapse
+        the {INPUT_SUBDIRS} namespace — the reference's substring replace
+        removed every occurrence (bin mode was fixed in round 3; the img
+        arm had silently kept the quirk, QUIRKS.md row updated round 5)."""
+        src = tmp_path / 'data'
+        deep = src / 'ifcb' / 'data' / 'D2021'
+        os.makedirs(deep)
+        imgs = [str(deep / f'x{i}.png') for i in range(4)]
+        save_run_results(imgs, self._scores(), ['a', 'b', 'c'], 'ts',
+                         str(tmp_path / 'out'), '{INPUT_SUBDIRS}/res.json',
+                         model_id='m1', input_obj=str(src))
+        # prefix-anchored: namespace is /ifcb/data/D2021 (inner 'data'
+        # intact), not the collapsed /ifcb/D2021
+        good = tmp_path / 'out' / 'ifcb' / 'data' / 'D2021' / 'res.json'
+        assert good.exists(), list((tmp_path / 'out').rglob('*'))
+
+    def test_row_count_mismatch_raises(self, tmp_path):
+        """score rows != input count must fail loudly — the reference's
+        assert compared scores against their own argmax (a tautology), so
+        an upstream packing defect silently truncated the img-mode zip."""
+        imgs = ['/d/x1.png', '/d/x2.png', '/d/x3.png']  # 3 inputs
+        with pytest.raises(ValueError, match='score rows'):
+            save_run_results(imgs, self._scores(n=4), ['a', 'b', 'c'],
+                             'ts', str(tmp_path), 'r.json',
+                             model_id='m1', input_obj='/d')
+
+    def test_validate_outfiles_fails_fast(self):
+        """--outfile validation: unsupported extension or typo'd
+        placeholder must raise BEFORE inference, like --results/--plot."""
+        from ifcb_classifier_tpu.results.run import validate_outfiles
+        with pytest.raises(ValueError, match='unsupported result-file'):
+            validate_outfiles(['results.csv'])
+        with pytest.raises(ValueError, match='unknown placeholder'):
+            validate_outfiles(['{BIN_IDX}.json'], src_type='bin')
+        with pytest.raises(ValueError, match='unknown placeholder'):
+            # bin-only placeholders are invalid in img mode
+            validate_outfiles(['{BIN_ID}.json'], src_type='img')
+        validate_outfiles(['D{BIN_YEAR}/D{BIN_DATE}/{BIN_ID}_class.h5'])
+        validate_outfiles(['{INPUT_SUBDIRS}/r.json'], src_type='img')
+        validate_outfiles(['r.mat', 'r.h5', 'r.json'])
+
     def test_mat_one_indexing(self, tmp_path):
         from scipy.io import loadmat
         pid = Pid('D20200301T000000_IFCB900')

@@ -513,6 +513,74 @@ class _NotAllowlisted:
     can reference it by module+name)."""
 
 
+class TestLoadHparams:
+    """load_hparams: submit-time hparams read with NO weight port (sbatch
+    resolves {MODEL_ID} on a login node; porting hundreds of MB there was
+    the round-5 review finding)."""
+
+    def test_native_checkpoint(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import (load_hparams,
+                                                          save_checkpoint)
+        from ifcb_classifier_tpu.train.state import create_train_state
+        model = get_namebrand_model("resnet18", 2, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        p = str(tmp_path / "m.ptl")
+        save_checkpoint(p, state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b"],
+                             resize=32, model_id="mid7", seed=1,
+                             img_norm=None))
+        hp = load_hparams(p)
+        assert hp["model_id"] == "mid7" and hp["MODEL"] == "resnet18"
+
+    def test_lightning_checkpoint_skips_the_port(self, tmp_path,
+                                                 monkeypatch):
+        """For a .ptl the hparams read must NOT run the tensor-by-tensor
+        port (that is the heavy step): poison port_state_dict and assert
+        load_hparams still succeeds through the hardened unpickler."""
+        from ifcb_classifier_tpu.models import torch_port
+        from ifcb_classifier_tpu.train.checkpoint import load_hparams
+        p = str(tmp_path / "ref.ptl")
+        TestLightningCheckpoint()._fake_ptl(p)
+        monkeypatch.setattr(
+            torch_port, "port_state_dict",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("load_hparams ran the weight port")))
+        hp = load_hparams(p)
+        assert hp["model_id"] == "ptl_twin"
+        assert hp["MODEL"] == "resnet18"
+
+    def test_non_checkpoint_raises(self, tmp_path):
+        from ifcb_classifier_tpu.train.checkpoint import load_hparams
+        p = tmp_path / "junk.ptl"
+        p.write_bytes(b"not a checkpoint at all")
+        with pytest.raises(Exception):
+            load_hparams(str(p))
+
+
+class TestEngineModelIdFallback:
+    def test_missing_model_id_uses_ckpt_stem(self, tmp_path):
+        """Engine model_id falls back to the checkpoint basename (sbatch's
+        submit-time fallback) — None crashed the .h5/.mat writers after
+        classification and diverged runtime outdirs from submit-time."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+        model = get_namebrand_model("resnet18", 2, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        p = str(tmp_path / "migrated_model.ptl")
+        save_checkpoint(p, state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b"],
+                             resize=32, seed=1, img_norm=None))  # no model_id
+        eng = InferenceEngine(p, batch_size=4)
+        assert eng.model_id == "migrated_model"
+
+
 class TestLightningCheckpoint:
     """Direct RUN/EXPORT consumption of the reference's .ptl artifacts
     (train/checkpoint.py:_load_lightning_checkpoint). The fabricated ckpt

@@ -64,8 +64,14 @@ class NeustonDataset:
 
         ipc_final = {label: sorted(images) for label, images in ipc_final.items()}
 
-        # flatten to parallel lists ordered by class (neuston_data.py:51)
-        pairs = [(self.classes.index(t), i) for t in ipc_final for i in ipc_final[t]]
+        # flatten to parallel lists ordered by class (neuston_data.py:51).
+        # dict lookup, not list.index: the reference's .index() is an
+        # O(N_images x N_classes) string scan (~10^8 comparisons at IFCB
+        # scale, paid three times per training start: full set + both
+        # split halves); the emitted (targets, images) content — the
+        # actual parity surface — is byte-identical
+        class_idx = {c: k for k, c in enumerate(self.classes)}
+        pairs = [(class_idx[t], i) for t in ipc_final for i in ipc_final[t]]
         if pairs:
             self.targets, self.images = (list(x) for x in zip(*pairs))
         else:

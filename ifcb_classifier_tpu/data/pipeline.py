@@ -53,8 +53,10 @@ def decode_image(path: str, rgb: bool = True) -> np.ndarray:
     from .. import native
     with open(path, "rb") as f:
         data = f.read()
-    img = native.decode_bytes_native(data, rgb=rgb)
-    if img is not None and max(img.shape[:2]) <= MAX_CANVAS:
+    # max_dim: the native probe declines oversized images header-only, so
+    # the PIL thumbnail path below doesn't pay a discarded full decode
+    img = native.decode_bytes_native(data, rgb=rgb, max_dim=MAX_CANVAS)
+    if img is not None:
         return img
     from PIL import Image
     import io

@@ -26,8 +26,21 @@ _build_error = None
 
 
 def _build_and_load(so, src, extra_libs=()):
+    # the cache key must be honest about BUILD FLAGS, not just source
+    # mtime: IFCBNN_NATIVE_MARCH=native with a cached portable .so used to
+    # be silently ignored (benchmarks under a false configuration). A
+    # march-tagged artifact name gives each flag set its own cache slot.
+    march = os.environ.get("IFCBNN_NATIVE_MARCH", "")
+    if march:
+        import re
+        base, ext = os.path.splitext(so)
+        so = base + "-" + re.sub(r"[^A-Za-z0-9_.+-]", "_", march) + ext
+    # '<=' not '<': preserved-timestamp copies (rsync -a / tar of a
+    # working tree) can land a STALE gitignored .so whose mtime equals
+    # the newer source — an equal mtime is ambiguous, and a ~1 s rebuild
+    # beats resurrecting pre-fix native code
     if (not os.path.isfile(so)) or (
-            os.path.getmtime(so) < os.path.getmtime(src)):
+            os.path.getmtime(so) <= os.path.getmtime(src)):
         # atomic build: concurrent first use (HostLoader decode threads,
         # several sharded processes on a shared filesystem) must never
         # CDLL a half-linked library — compile to a unique temp and
@@ -154,7 +167,7 @@ def decode_available() -> bool:
     return _load_img() is not None
 
 
-def decode_bytes_native(data, rgb: bool = True):
+def decode_bytes_native(data, rgb: bool = True, max_dim: int = 0):
     """Decode PNG/JPEG bytes to uint8 (H,W,3) [rgb] or (H,W) [gray] with
     PIL-convert semantics, releasing the GIL for the C call (the reason this
     exists: PIL decode serializes HostLoader's decode threads; this doesn't).
@@ -162,7 +175,16 @@ def decode_bytes_native(data, rgb: bool = True):
     Returns None when the native path can't handle the input (not built,
     unrecognized container, 16-bit PNG, CMYK JPEG, corrupt file) — callers
     must fall back to PIL, which also turns real corruption into PIL's
-    standard exceptions rather than a second error vocabulary."""
+    standard exceptions rather than a second error vocabulary.
+
+    max_dim > 0 also declines images with a side beyond it BEFORE
+    allocating — the probe is header-only, so a caller that will
+    PIL-thumbnail oversized images anyway (data/pipeline.py decode_image)
+    skips a guaranteed-discarded full native decode. Independent of
+    max_dim, a hard total-size bound declines forged/corrupt headers
+    (e.g. an IHDR claiming 2^24 x 2^24): np.empty on those raised
+    MemoryError — an error vocabulary this function promises not to emit
+    — and bypassed PIL's decompression-bomb guard."""
     lib = _load_img()
     if lib is None:
         return None
@@ -172,9 +194,14 @@ def decode_bytes_native(data, rgb: bool = True):
     if lib.imgdec_probe(buf.ctypes.data, np.int64(buf.size),
                         ctypes.byref(h), ctypes.byref(w)) != 0:
         return None
-    shape = (h.value, w.value, 3) if rgb else (h.value, w.value)
+    hh, ww = int(h.value), int(w.value)
+    if hh <= 0 or ww <= 0 or hh * ww * 3 > (1 << 31):  # ~0.7 gigapixel
+        return None  # forged/corrupt header: PIL's guards take over
+    if max_dim and max(hh, ww) > max_dim:
+        return None  # caller would discard it — let PIL decode+thumbnail
+    shape = (hh, ww, 3) if rgb else (hh, ww)
     out = np.empty(shape, np.uint8)
     rc = lib.imgdec_decode(buf.ctypes.data, np.int64(buf.size),
                            out.ctypes.data, np.int32(bool(rgb)),
-                           np.int32(h.value), np.int32(w.value))
+                           np.int32(hh), np.int32(ww))
     return out if rc == 0 else None

@@ -234,6 +234,69 @@ class TestImgDecode:
         assert native.decode_bytes_native(b"not an image", True) is None
         assert native.decode_bytes_native(b.getvalue()[:40], True) is None
 
+    def test_forged_giant_header_declined_not_memoryerror(self):
+        """A corrupt/forged IHDR claiming e.g. 30000x30000 must be
+        DECLINED (None -> PIL's own guards take over) — np.empty on the
+        probe dims used to raise MemoryError out of HostLoader and kill
+        a training run, bypassing PIL's decompression-bomb guard."""
+        import io
+        import struct
+        import zlib
+        from PIL import Image
+        b = io.BytesIO()
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(b, "PNG")
+        data = bytearray(b.getvalue())
+        # patch IHDR width/height (bytes 16-23, big-endian) + re-CRC
+        struct.pack_into(">II", data, 16, 30000, 30000)
+        crc = zlib.crc32(bytes(data[12:29]))  # chunk type + 13-byte body
+        struct.pack_into(">I", data, 29, crc & 0xFFFFFFFF)
+        assert native.decode_bytes_native(bytes(data), True) is None
+
+    def test_max_dim_declines_header_only(self):
+        """max_dim: oversized-but-legit images are declined from the PROBE
+        (no allocation, no discarded full decode) so decode_image's PIL
+        thumbnail path pays exactly one decode."""
+        import io
+        from PIL import Image
+        wide = np.zeros((4, 1100, 3), np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(wide).save(b, "PNG")
+        data = b.getvalue()
+        assert native.decode_bytes_native(data, True, max_dim=1024) is None
+        got = native.decode_bytes_native(data, True)  # no cap: decodes
+        assert got is not None and got.shape == (4, 1100, 3)
+
+    def test_decode_image_thumbnails_oversized_via_pil(self, tmp_path):
+        from PIL import Image
+        from ifcb_classifier_tpu.data.pipeline import MAX_CANVAS, decode_image
+        wide = np.random.RandomState(8).randint(
+            0, 255, (6, MAX_CANVAS + 100, 3), np.uint8)
+        p = str(tmp_path / "wide.png")
+        Image.fromarray(wide).save(p)
+        img = decode_image(p)
+        assert max(img.shape[:2]) <= MAX_CANVAS
+
+    def test_march_env_gets_its_own_cache_slot(self, tmp_path):
+        """IFCBNN_NATIVE_MARCH must participate in the .so cache key — a
+        cached portable build used to silently ignore the flag (benchmarks
+        under a false configuration)."""
+        import shutil
+        src = tmp_path / "roipack.cpp"
+        shutil.copy(native._SRC, src)
+        so = str(tmp_path / "libroipack.so")
+        import os as _os
+        old = _os.environ.get("IFCBNN_NATIVE_MARCH")
+        try:
+            _os.environ["IFCBNN_NATIVE_MARCH"] = "x86-64"
+            native._build_and_load(so, str(src))
+            assert _os.path.isfile(str(tmp_path / "libroipack-x86-64.so"))
+            assert not _os.path.isfile(so)  # tagged slot, not the plain one
+        finally:
+            if old is None:
+                _os.environ.pop("IFCBNN_NATIVE_MARCH", None)
+            else:
+                _os.environ["IFCBNN_NATIVE_MARCH"] = old
+
     def test_decode_image_uses_native_and_matches_pil(self, tmp_path):
         from PIL import Image
         from ifcb_classifier_tpu.data.pipeline import decode_image

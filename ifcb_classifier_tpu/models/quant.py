@@ -184,7 +184,8 @@ def build_quant_predict(model, params, batch_stats, calib_images):
     calib_fn, geoms = make_calib_fn(model)
     absmax = {k: float(v) for k, v in jax.device_get(
         jax.jit(calib_fn)(params, batch_stats, calib_images)).items()}
-    pruned, qconv = quantize_params(jax.device_get(params), geoms)
+    # quantize_params device_gets internally — no second fetch here
+    pruned, qconv = quantize_params(params, geoms)
     pruned[_QUANT_KEY] = qconv
     return jax.device_put(pruned), make_quant_predict(model, absmax, geoms)
 

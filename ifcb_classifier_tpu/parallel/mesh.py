@@ -100,6 +100,19 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] % n == 0:
             out[k] = jax.device_put(v, sh)
         elif hasattr(v, "shape"):
+            if v.ndim >= 2:
+                # image-scale tensors must never silently replicate: with
+                # replicated inputs AND replicated params XLA computes the
+                # whole batch on EVERY device — an n_data-times slowdown
+                # with bit-identical (so invisible) results. Callers pad
+                # batches to a multiple of the data axis (train/loop.py
+                # rounds --batch; engines round batch_size) — a
+                # non-divisible tensor here is a caller bug.
+                raise ValueError(
+                    f"shard_batch: {k!r} leading dim {v.shape[0]} is not "
+                    f"divisible by the {n}-way 'data' axis — pad the "
+                    "batch; refusing to silently replicate an image-scale "
+                    "tensor onto every device")
             out[k] = jax.device_put(v, replicated(mesh))
         else:
             out[k] = v

@@ -82,7 +82,14 @@ class EpochCSV:
         self.rows = []
 
     def log(self, **row):
-        self.rows.append({k: v for k, v in row.items()
+        # numpy scalars coerce to plain Python: np.float32/np.bool_ are
+        # NOT json-serializable, and save_train_state's _jsonable fallback
+        # would str() the WHOLE csv_rows history — the next --resume then
+        # iterates that string as characters and crashes DictWriter
+        def py(v):
+            return v.item() if isinstance(v, (np.bool_, np.integer,
+                                              np.floating)) else v
+        self.rows.append({k: py(v) for k, v in row.items()
                           if isinstance(v, (bool, int, float,
                                             np.bool_, np.integer,
                                             np.floating))})
@@ -334,6 +341,7 @@ def do_training(args):
     # --mesh DATAxMODEL) the classifier head over 'model' (parallel/mesh.py);
     # XLA emits the gradient psums/all-gathers from the sharding
     # annotations. Single device degenerates to plain jit.
+    _place_state = lambda s: s  # noqa: E731 — mesh block overrides
     if n_dev > 1:
         from ..parallel.mesh import (make_mesh, replicated, shard_batch,
                                      state_shardings)
@@ -352,7 +360,13 @@ def do_training(args):
         val_loader.batch_size = local_batch
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         sh = state_shardings(state, mesh)
-        state = jax.device_put(state, sh)
+        if _resume_payload is None:
+            # resume replaces every leaf with the checkpoint's host arrays
+            # right below — an eager device_put of the RANDOM init here
+            # wasted a full params+moments transfer (~12 s of the ~25 MB/s
+            # tunnel for inception+Adam) per resume
+            state = jax.device_put(state, sh)
+        _place_state = lambda s: jax.device_put(s, sh)  # noqa: E731
         train_step = jax.jit(fused_train,
                              in_shardings=(sh, None, None),
                              out_shardings=(sh, replicated(mesh)),
@@ -367,8 +381,28 @@ def do_training(args):
             # with model-axis-spanning groups the inference "global = local
             # x process_count" would over-count replica hosts
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental import multihost_utils
 
             def put_batch(b):
+                # CROSS-HOST CANVAS-LADDER SYNC: each host packs its OWN
+                # shard at the smallest ladder rung covering it
+                # (pack_canvas_batch), so on heterogeneous real bins two
+                # hosts can pick different S for the same step — then
+                # every process hands make_array_from_process_local_data
+                # a different global shape and traces a DIFFERENT program
+                # (mismatched collectives -> SPMD deadlock mid-epoch).
+                # All-reduce the rung to its max and pad local canvases up
+                # to it; `sizes` stays the truth so preprocess ignores the
+                # extra zeros. One tiny allgather per step (every host
+                # runs equal step counts — shard_manifest pads for that).
+                canvas = b["canvas"]
+                S = int(canvas.shape[1])
+                gS = int(multihost_utils.process_allgather(
+                    np.int32(S)).max())
+                if gS != S:
+                    pad = [(0, 0), (0, gS - S), (0, gS - S)]
+                    pad += [(0, 0)] * (canvas.ndim - 3)
+                    b = dict(b, canvas=np.pad(canvas, pad))
                 out = {}
                 for k, v in b.items():
                     sh = NamedSharding(mesh, P("data"))
@@ -408,6 +442,7 @@ def do_training(args):
     if _resume_payload is not None:
         state, extra = load_train_state(last_state_path, state,
                                         payload=_resume_payload)
+        state = _place_state(state)  # mesh placement of the LOADED leaves
         _resume_payload = None  # free the host copy (params + moments)
         start_epoch = extra["epoch"] + 1
         best_val_loss = extra["best_val_loss"]
@@ -501,7 +536,19 @@ def do_training(args):
     # not rewrite last.state: `epoch` pre-set above names an epoch that
     # never ran, and each no-op resume would advance the cursor by one
     step_count = 0
-    for epoch in range(start_epoch, args.emax):
+    # --resume of an EARLY-STOPPED run must also be a no-op: the stop
+    # condition below only fires AFTER an epoch completes, so without this
+    # pre-check every resume (e.g. an sbatch requeue) trained exactly one
+    # extra epoch past the stop point — silently rewriting the published
+    # best-ckpt/csv artifacts, one epoch further per resume
+    loop_start = start_epoch
+    if (start_epoch > 0 and args.estop
+            and (start_epoch - 1) - best_epoch >= args.estop):
+        print(f"Resume: run already early-stopped after epoch "
+              f"{start_epoch - 1} (best epoch {best_epoch}, no improvement "
+              f"for {args.estop} epochs) — nothing left to train")
+        loop_start = args.emax  # empty range: fall through like a no-op
+    for epoch in range(loop_start, args.emax):
         trained_this_invocation = True
         # --- train ---
         t0 = time.time()

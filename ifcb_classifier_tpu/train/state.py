@@ -189,7 +189,7 @@ def make_train_step(model, tx, axis_name: str | None = None,
         grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
         if accum == 1:
-            (loss, (new_stats, _)), grads = grad_fn(
+            (loss, (new_stats, local_w)), grads = grad_fn(
                 state.params, state.batch_stats, batch, dropout_rng)
         else:
             b = batch["images"].shape[0]
@@ -234,8 +234,20 @@ def make_train_step(model, tx, axis_name: str | None = None,
                 lambda g, p: (g / dsum).astype(p.dtype),
                 gsum, state.params)
             loss = lsum / dsum
+            local_w = dsum
         if axis_name:
-            grads = jax.lax.pmean(grads, axis_name)
+            # weight each shard by its valid-row mass: per-shard grads are
+            # already LOCAL masked means, so an unweighted pmean would
+            # count a 1-valid-row shard (ragged tail, pads concentrated)
+            # as much as a full one — biasing away from the exact global
+            # masked-mean gradient the GSPMD path computes
+            w = jnp.maximum(local_w.astype(jnp.float32), 1e-9)
+            wg = jax.lax.psum(w, axis_name)
+            grads = jax.tree_util.tree_map(
+                lambda g: (jax.lax.psum(g.astype(jnp.float32) * w,
+                                        axis_name) / wg).astype(g.dtype),
+                grads)
+            loss = jax.lax.psum(loss * w, axis_name) / wg
             new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -373,6 +373,33 @@ class TestWatch2Proc:
                          recursive=True)
 
 
+class TestLadderSync2Proc:
+    def test_heterogeneous_canvas_rungs_do_not_deadlock(self,
+                                                        tmp_path_factory):
+        """Each host packs its shard at the smallest canvas-ladder rung
+        covering it — on heterogeneous images the two hosts pick
+        DIFFERENT rungs for the same step, and without the cross-host
+        rung sync every process handed make_array_from_process_local_data
+        a different global shape and traced a different program (SPMD
+        deadlock mid-epoch). One 100-px image among 20-px ones forces the
+        split: its owner packs 128 while the other host packs 64."""
+        import numpy as np
+        from PIL import Image
+        root = tmp_path_factory.mktemp("laddersync")
+        src = write_image_folder_dataset(str(root / "ds"),
+                                         {"a": 6, "b": 6}, size=(20, 20))
+        big = np.random.RandomState(3).randint(0, 255, (100, 90, 3),
+                                               np.uint8)
+        Image.fromarray(big).save(os.path.join(src, "a", "a_zbig.png"))
+        outdir = str(root / "out")
+        _launch(2, "train", src, outdir)  # must not hang or shape-error
+        with open(os.path.join(outdir, "epochs.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        for r in rows:
+            assert float(r["val_loss"]) == float(r["val_loss"])  # finite
+
+
 class TestTrain4Proc:
     def test_validation_gather_heavy_padding_p4(self, corpus, tmp_path):
         """P=4 over a ~4-item validation split: most ranks carry manifest

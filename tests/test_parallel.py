@@ -46,6 +46,65 @@ class TestMeshes:
         assert tuple(conv_spec) == ()
 
 
+class TestShardBatchGuard:
+    def test_non_divisible_image_tensor_refused(self):
+        """A >=2-D tensor whose leading dim doesn't divide the data axis
+        must RAISE — the silent replication fallback made every device
+        compute the whole batch (n_data-times slower, bit-identical, so
+        invisible)."""
+        from ifcb_classifier_tpu.parallel.mesh import shard_batch
+        mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+        import numpy as np
+        with pytest.raises(ValueError, match="refusing to silently"):
+            shard_batch(dict(canvas=np.zeros((3, 8, 8), np.uint8)), mesh)
+        # divisible: shards; scalar-ish 1-D oddities may still replicate
+        out = shard_batch(dict(canvas=np.zeros((4, 8, 8), np.uint8),
+                               odd=np.zeros((3,), np.int32)), mesh)
+        assert out["canvas"].sharding.spec[0] == "data"
+
+
+class TestWeightedPmeanGradients:
+    def test_pmap_loss_is_valid_row_weighted(self):
+        """axis_name DP: per-shard grads/losses are LOCAL masked means, so
+        the cross-shard combine must weight by each shard's valid-row
+        count — an unweighted pmean counted a 1-valid-row shard as much
+        as a full one (the documented 'exact masked-mean' contract)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.state import (create_train_state,
+                                                     make_train_step)
+        devs = jax.devices()[:2]
+        model = get_namebrand_model("squeezenet", 3, dtype=jnp.float32)
+        state, tx = create_train_state(model, jax.random.PRNGKey(0), 32)
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(2, 2, 32, 32, 3).astype(np.float32)
+        labels = rng.randint(0, 3, (2, 2)).astype(np.int32)
+        mask = np.asarray([[True, True], [True, False]])  # ragged shard 1
+
+        # per-shard LOCAL losses via the no-axis step (same params/rng)
+        local = []
+        step1 = jax.jit(make_train_step(model, tx))
+        for s in range(2):
+            _, l = step1(state, dict(images=imgs[s], labels=labels[s],
+                                     mask=mask[s]), jax.random.PRNGKey(7))
+            local.append(float(l))
+
+        stepP = jax.pmap(make_train_step(model, tx, axis_name="data"),
+                         axis_name="data", devices=devs)
+        pstate = jax.device_put_replicated(state, devs)
+        keys = jnp.stack([jax.random.PRNGKey(7)] * 2)
+        _, ploss = stepP(pstate, dict(images=jnp.asarray(imgs),
+                                      labels=jnp.asarray(labels),
+                                      mask=jnp.asarray(mask)), keys)
+        got = float(ploss[0])
+        weighted = (2 * local[0] + 1 * local[1]) / 3
+        unweighted = (local[0] + local[1]) / 2
+        assert got == pytest.approx(weighted, rel=1e-5), (
+            got, weighted, unweighted)
+        assert abs(got - unweighted) > 1e-7  # the two must differ here
+
+
 class TestSlurmInit:
     def test_empty_nodelist_fails_fast_with_named_fix(self, monkeypatch):
         """SLURM_NTASKS set but no derivable coordinator host: the old

@@ -126,6 +126,38 @@ class TestEarlyStop:
         finally:
             os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
 
+    def test_resume_of_early_stopped_run_is_a_noop(self, tmp_path):
+        """--resume of an EARLY-STOPPED run must not train: the stop
+        check used to fire only after an epoch completed, so every resume
+        (e.g. an sbatch requeue) trained exactly one extra epoch and
+        silently rewrote the published artifacts — one further per
+        resume."""
+        os.environ["IFCBNN_RESIZE_OVERRIDE"] = "32"
+        try:
+            src = write_image_folder_dataset(str(tmp_path / "ds"),
+                                             {"a": 6, "b": 6}, size=(20, 20))
+            outdir = str(tmp_path / "out")
+            from ifcb_classifier_tpu.train.loop import do_training
+            do_training(make_args(src, outdir, emax=30, emin=1, estop=2,
+                                  seed=11))
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                rows1 = list(csv.DictReader(f))
+            assert len(rows1) < 30  # precondition: it DID early-stop
+            import hashlib
+            with open(os.path.join(outdir, "tt.ptl"), "rb") as f:
+                digest1 = hashlib.sha256(f.read()).hexdigest()
+            do_training(make_args(src, outdir, emax=30, emin=1, estop=2,
+                                  seed=11, resume=True))
+            with open(os.path.join(outdir, "epochs.csv")) as f:
+                rows2 = list(csv.DictReader(f))
+            assert rows2 == rows1, "resume trained past the early stop"
+            # the published artifact is byte-identical (re-copied, same
+            # best ckpt — no extra epoch ever overwrote it)
+            with open(os.path.join(outdir, "tt.ptl"), "rb") as f:
+                assert hashlib.sha256(f.read()).hexdigest() == digest1
+        finally:
+            os.environ.pop("IFCBNN_RESIZE_OVERRIDE", None)
+
 
 class TestRunRoundtrip:
     def test_run_on_images_from_trained_ckpt(self, trained, tmp_path):
@@ -239,6 +271,23 @@ class TestEpochCSVDynamicColumns:
                                  "f1_macro", "f1_weighted", "lr"]
         assert rows[0]["lr"] == "" and rows[1]["lr"] == "0.001"
         assert "output_classes" not in rows[0]
+
+    def test_numpy_scalars_coerced_json_safe(self, tmp_path):
+        """np.float32/np.bool_ values must be coerced to plain Python at
+        log time: json.dumps rejects them, and save_train_state's
+        _jsonable fallback then str()-ified the ENTIRE csv_rows history —
+        the next --resume iterated that string as characters and crashed
+        DictWriter, losing the epoch history."""
+        import json as _json
+        import numpy as _np
+        from ifcb_classifier_tpu.train.loop import EpochCSV
+        ec = EpochCSV(str(tmp_path / "e.csv"))
+        ec.log(epoch=_np.int64(0), best=_np.bool_(True),
+               val_loss=_np.float32(1.5))
+        row = ec.rows[0]
+        assert all(type(v) in (bool, int, float) for v in row.values()), \
+            {k: type(v) for k, v in row.items()}
+        _json.dumps(ec.rows)  # the resume-payload path must serialize
 
 
 class TestRematParity:

@@ -74,7 +74,12 @@ class InferenceEngine:
         # also crashed the .h5/.mat writers after classification)
         self.model_id = hparams.get("model_id") or \
             os.path.splitext(os.path.basename(ckpt_path))[0]
-        self.seed = hparams.get("seed", 0)
+        # `or 0`, not get(..., 0): migrated .ptl checkpoints materialize
+        # seed=None (the key EXISTS), and random.seed(None) downstream
+        # would seed from OS entropy — nondeterministic runs despite the
+        # parity intent
+        self.seed = hparams.get("seed") if hparams.get("seed") is not None \
+            else 0
         self.img_norm = hparams.get("img_norm")
         self.batch_size = batch_size
         if dtype is None:
@@ -235,6 +240,11 @@ class InferenceEngine:
         backend default dtype)."""
         from ..utils.config import resolve_dtype
         precision = getattr(args, "precision", None)
+        cb = getattr(args, "calib_batches", None)
+        if cb is not None and cb < 1:
+            # explicit nonsense must fail fast, not be silently
+            # reinterpreted as 1 by the falsy-zero `or 1` below
+            raise ValueError(f"--calib-batches must be >= 1 (got {cb})")
         return cls(
             args.MODEL, batch_size=args.batch_size,
             dtype=resolve_dtype(None if precision == "int8" else precision),
@@ -596,6 +606,24 @@ class _GobigAggregator:
                            np.stack([big_rows[t] for t in ordered]))
             return
 
+        # COMPACT copy: queued rows must pin only THEIR pixels. Enqueuing
+        # views of bin._roi_bytes kept each bin's ENTIRE .roi buffer alive
+        # until its last queued row dispatched — up to ~(ladders x
+        # batch_size) distinct bins' full buffers concurrently on mixed
+        # archives. One sequential copy of the kept ranges bounds resident
+        # memory to the queued pixels; fragment grouping in _dispatch_inner
+        # (same-buffer runs) is preserved because the whole bin shares this
+        # one compact buffer.
+        lens = heights * widths
+        new_starts = np.zeros(keep.size, np.int64)
+        np.cumsum(lens[:-1], out=new_starts[1:])
+        compact = np.empty(int(lens.sum()), np.uint8)
+        for i in range(keep.size):
+            s = int(starts[i])
+            d = int(new_starts[i])
+            compact[d:d + int(lens[i])] = roi_buf[s:s + int(lens[i])]
+        roi_buf, starts = compact, new_starts
+
         key = self._next_key
         self._next_key += 1
         self.bins[key] = dict(obj=bin_obj, remaining=int(keep.size),
@@ -890,7 +918,9 @@ def do_run(args, engine=None):
                 with open(args.SRC) as f:
                     bins = [b.strip() for b in f.read().splitlines()
                             if b.strip()]
-                assert bins, "bin list is empty"
+                if not bins:  # a raise, not an assert: python -O must
+                    # not turn an empty list into a silent 0-bin success
+                    raise ValueError(f"{args.SRC}: bin list is empty")
                 # direct per-entry resolution (no tree walk): each listed
                 # basepath/.adc path is stat'd, and a missing or invalid
                 # entry raises NAMING it — never a silent 0-bin run, never
@@ -988,6 +1018,20 @@ def do_run(args, engine=None):
                         or st.get("hist_bins") != len(agg_hist)):
                     return  # schema/model changed: rebuild by reclassifying
                 for k, entry in st["contrib"].items():
+                    if (proc_cnt > 1
+                            and zlib.crc32(str(k).encode()) % proc_cnt
+                            != proc_idx):
+                        # fleet RESIZED between restarts: this bin's
+                        # pid-hash now maps to another rank. Resuming it
+                        # here would double-count its ROIs fleet-wide (the
+                        # new owner reclassifies it into ITS aggregate)
+                        # and this rank's copy could never update or evict
+                        # (the shard check skips non-owned bins while they
+                        # remain on disk). Dirty-flag so the on-disk
+                        # sidecar converges to the filtered view this pass
+                        # instead of re-resuming the stale entries forever.
+                        _ws_dirty[0] = True
+                        continue
                     c, h, n = entry
                     c, h = np.asarray(c, np.int64), np.asarray(h, np.int64)
                     if (c.shape != agg_counts.shape
@@ -1006,7 +1050,12 @@ def do_run(args, engine=None):
                 pass  # corrupt sidecar: fall back to reclassification
 
         def evict_stale(seen_pids):
-            nonlocal agg_total, agg_counts, agg_hist
+            """Returns the number of bins evicted this pass (the caller
+            refreshes aggregate plots when nonzero — an eviction-only
+            pass used to leave the plot at pre-eviction totals while the
+            summary already showed the reduced counts)."""
+            nonlocal agg_total, agg_counts, agg_hist, n_done
+            n_evicted = 0
             tracked = (done_pids | set(bin_contrib) | set(fail_retry)
                        | set(absent_count))
             for key in tracked:
@@ -1017,9 +1066,17 @@ def do_run(args, engine=None):
                 if n < EVICT_AFTER:
                     absent_count[key] = n
                     continue
-                done_pids.discard(key)
+                if key in done_pids:
+                    # keep n_done == len(done_pids): without this, a bin
+                    # deleted and later re-added counted TWICE (eviction
+                    # removed it from done_pids so reclassification took
+                    # the not-reclass branch), inflating n_bins_done until
+                    # a restart snapped it back down
+                    done_pids.discard(key)
+                    n_done -= 1
                 fail_retry.pop(key, None)
                 absent_count.pop(key, None)
+                n_evicted += 1
                 contrib = bin_contrib.pop(key, None)
                 if contrib is not None and track_agg:
                     pc, ph, pn = contrib
@@ -1027,6 +1084,7 @@ def do_run(args, engine=None):
                     agg_hist -= ph
                     agg_total -= pn
                     _ws_dirty[0] = True
+            return n_evicted
 
         def record_error(bin_obj, e):
             nonlocal n_errors_total
@@ -1240,9 +1298,12 @@ def do_run(args, engine=None):
                     agg.flush()
                 except Exception as e:  # systemic, not per-bin — record once
                     record_error("<gobig flush>", e)
+            n_evicted = 0
             if watch:
-                evict_stale(seen_pids)
-            return new_done
+                n_evicted = evict_stale(seen_pids)
+            # nonzero ALSO for eviction-only passes: the aggregate changed,
+            # so the watch loop must refresh the plots too
+            return new_done + n_evicted
 
         def refresh_agg_plots():
             if agg_plots and agg_total:
@@ -1297,7 +1358,8 @@ def do_run(args, engine=None):
                   "process 0 only; idle on this host")
             return
         img_paths = list_image_paths(args.SRC, filter_mode, filter_keywords)
-        assert len(img_paths) > 0, "No images to process"
+        if not img_paths:  # raise, not assert (python -O strips asserts)
+            raise ValueError(f"No images to process under {args.SRC}")
         # engine.batch_size, NOT args.batch_size: the engine rounds its
         # batch up to a multiple of the local device count — a loader batch
         # of the raw size would violate the jit's 'data' in_sharding

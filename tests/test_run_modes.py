@@ -257,6 +257,91 @@ class TestWatchMultiHostSharding:
         assert outs[0] and outs[1]  # 5 bins over 2 hosts: both get work
 
 
+class TestWatchFleetResize:
+    def test_resized_fleet_drops_non_owned_sidecar_entries(
+            self, ckpt, tmp_path, monkeypatch):
+        """Restarting a watch fleet at a DIFFERENT size reshuffles the
+        pid-hash ownership; each rank must drop sidecar contributions for
+        bins it no longer owns — resuming them double-counted those ROIs
+        fleet-wide (the new owner reclassifies them into ITS aggregate)
+        and the stale copy could never update or evict while the bin
+        stayed on disk (round-5 review)."""
+        import zlib
+
+        import jax
+        from ifcb_classifier_tpu.infer import runner
+
+        root = tmp_path / "bins"
+        pids = [f"D2024110{i}T000000_IFCB900" for i in range(1, 7)]
+        for i, pid in enumerate(pids):
+            write_bin(str(root), pid, [make_roi(10 + i, 12, i)], 2)
+        for f in os.listdir(root):
+            os.utime(os.path.join(root, f), (1, 1))
+        monkeypatch.setattr(runner.time, "sleep", lambda s: None)
+        out = str(tmp_path / "out")
+
+        # 1-process service first: rank 0 owns EVERY bin's contribution
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        s1 = json.load(open(os.path.join(out, "live.json")))
+        assert s1["n_bins_done"] == 6
+        # its sidecar is the un-suffixed single-process one; a 2-proc
+        # restart reads the rank-suffixed path, so seed rank 0's sidecar
+        # from it to simulate the same-rank restart
+        os.replace(os.path.join(out, ".watch_state.json"),
+                   os.path.join(out, ".watch_state.r0.json"))
+
+        # restart as rank 0 of TWO processes: only its owned pids resume
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        runner.do_run(run_args(str(root), ckpt, out, watch=3600.0,
+                               watch_passes=1, summary="live.json"))
+        own0 = [p for p in pids if zlib.crc32(p.encode()) % 2 == 0]
+        s2 = json.load(open(os.path.join(out, "live.r0.json")))
+        assert s2["n_bins_done"] == len(own0)
+        st = json.load(open(os.path.join(out, ".watch_state.r0.json")))
+        assert sorted(st["contrib"]) == sorted(own0)
+
+
+class TestRound5RunnerFixes:
+    def test_empty_bin_list_raises_not_silent(self, ckpt, tmp_path):
+        """An empty .txt bin list must raise (the assert vanished under
+        python -O, printing 'RUN IS DONE (0 bins)' with exit 0)."""
+        from ifcb_classifier_tpu.infer import runner
+        lst = tmp_path / "bins.txt"
+        lst.write_text("\n  \n")
+        with pytest.raises(ValueError, match="bin list is empty"):
+            runner.do_run(run_args(str(lst), ckpt, str(tmp_path / "o")))
+
+    def test_none_seed_hparam_degrades_to_zero(self, tmp_path):
+        """Migrated .ptl checkpoints materialize seed=None (the key
+        exists) — dict.get's default never applied and random.seed(None)
+        seeded from OS entropy."""
+        import jax
+        import jax.numpy as jnp
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        from ifcb_classifier_tpu.models import get_namebrand_model
+        from ifcb_classifier_tpu.train.checkpoint import save_checkpoint
+        from ifcb_classifier_tpu.train.state import create_train_state
+        model = get_namebrand_model("resnet18", 2, dtype=jnp.float32)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), 32)
+        p = str(tmp_path / "m.ptl")
+        save_checkpoint(p, state.params, state.batch_stats,
+                        dict(MODEL="resnet18", classes=["a", "b"],
+                             resize=32, model_id="m", seed=None,
+                             img_norm=None))
+        assert InferenceEngine(p, batch_size=4).seed == 0
+
+    def test_calib_batches_zero_is_refused(self, ckpt):
+        from ifcb_classifier_tpu.cli import argparse_nn
+        from ifcb_classifier_tpu.infer.runner import InferenceEngine
+        args = argparse_nn().parse_args(
+            ["--precision", "int8", "RUN", "src", ckpt, "rid",
+             "--calib-batches", "0"])
+        with pytest.raises(ValueError, match="must be >= 1"):
+            InferenceEngine.from_args(args)
+
+
 class TestGobigAggregation:
     """--gobig as real cross-bin batch aggregation (reference: one
     aggregated Trainer run, neuston_net.py:261-271; here: shared full
@@ -1192,7 +1277,10 @@ class TestWatchSteadyState:
         assert summaries[3]["n_rois"] == 4       # pass 4: absent x3 — evicted
         final = json.load(open(os.path.join(out, "live.json")))
         assert final["n_rois"] == 6              # re-added and reclassified
-        assert final["n_bins_done"] == 4         # counted as NEW post-evict
+        # eviction decrements n_done (round-5 review): a deleted+re-added
+        # bin counts ONCE in the live metric — it used to inflate to 4
+        # and snap back down on the next restart's sidecar reload
+        assert final["n_bins_done"] == 3
         assert os.path.isfile(os.path.join(out, pids[2] + ".json"))
 
 
@@ -1248,7 +1336,8 @@ class TestWatchSteadyState:
         assert summaries[3]["n_rois"] == 2       # absent x3 — evicted
         final = json.load(open(os.path.join(out, "live.json")))
         assert final["n_rois"] == 4              # reclassified on return
-        assert final["n_bins_done"] == 3         # counted as NEW post-evict
+        # live metric tracks the live directory (eviction decrements)
+        assert final["n_bins_done"] == 2
 
 
 class TestRound3Hardening:
